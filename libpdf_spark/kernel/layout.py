@@ -1,0 +1,379 @@
+"""Geometric layout analysis: chars → words → lines → boxes.
+
+Re-implements, vectorized, the grouping pdfminer performs for the
+reference (LA_PARAMS ``parameters.py:220-228``: line_overlap 0.5,
+char_margin 6.0, line_margin 0.4, word_margin 0.1, boxes_flow 0.5)
+plus the reference's own custom regrouping
+(``utils.py:585-631`` assemble_to_lt_textlines — new line when the
+vertical char-center deviates by >= y_tolerance) and its text-assembly
+joins (``models/horizontal_box.py:93-200``: chars join "" → word,
+words join " " → line, lines join "\\n" → box).
+
+The input is a struct-of-arrays over one document's chars; the output
+is a list of :class:`Box` (the LTTextBoxHorizontal equivalent) with
+per-char text offsets retained for link-index computation
+(``textbox.py:670-795``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from libpdf_spark.config import ExtractConfig
+
+
+def _object_array(items: list) -> np.ndarray:
+    """1-D object array even when items are equal-length tuples
+    (plain ``np.array`` would broadcast those to 2-D)."""
+    arr = np.empty(len(items), dtype=object)
+    for i, it in enumerate(items):
+        arr[i] = it
+    return arr
+
+
+@dataclass
+class CharArrays:
+    """Struct-of-arrays view of a document's chars (one page or all)."""
+
+    page: np.ndarray    # int32
+    text: np.ndarray    # object (1-char str)
+    x0: np.ndarray
+    y0: np.ndarray
+    x1: np.ndarray
+    y1: np.ndarray
+    fontname: np.ndarray  # object (str | None)
+    ncolor: np.ndarray    # object (tuple | None)
+
+    def __len__(self) -> int:
+        return len(self.page)
+
+    @classmethod
+    def from_records(cls, chars: list[dict]) -> "CharArrays":
+        n = len(chars)
+        return cls(
+            page=np.fromiter((c["page"] for c in chars), dtype=np.int32, count=n),
+            text=np.array([c["text"] for c in chars], dtype=object),
+            x0=np.fromiter((c["x0"] for c in chars), dtype=np.float64, count=n),
+            y0=np.fromiter((c["y0"] for c in chars), dtype=np.float64, count=n),
+            x1=np.fromiter((c["x1"] for c in chars), dtype=np.float64, count=n),
+            y1=np.fromiter((c["y1"] for c in chars), dtype=np.float64, count=n),
+            fontname=np.array([c.get("fontname") for c in chars], dtype=object),
+            ncolor=_object_array(
+                [tuple(c["ncolor"]) if c.get("ncolor") else None for c in chars]
+            ),
+        )
+
+    def take(self, idx: np.ndarray) -> "CharArrays":
+        return CharArrays(
+            self.page[idx], self.text[idx], self.x0[idx], self.y0[idx],
+            self.x1[idx], self.y1[idx], self.fontname[idx], self.ncolor[idx],
+        )
+
+
+@dataclass
+class Box:
+    """An assembled text box (LTTextBoxHorizontal equivalent)."""
+
+    page: int
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    text: str
+    # char indices (into the ORIGINAL document char arrays) in text order,
+    # one entry per physical char; offsets[i] = position of that char in
+    # `text` (separators occupy offsets with no char index).
+    char_idx: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    offsets: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    # line spans: list of (start, stop) slices into char_idx per text line
+    line_spans: list = field(default_factory=list)
+    fontname: str | None = None   # uniform-lift, horizontal_box.py:188-195
+    ncolor: tuple | None = None
+
+
+def _uniform(values) -> object | None:
+    """Promote an attribute iff identical across children
+    (``horizontal_box.py:84-90,136-142,188-195``)."""
+    it = iter(values)
+    try:
+        first = next(it)
+    except StopIteration:
+        return None
+    for v in it:
+        if v != first:
+            return None
+    return first
+
+
+def group_lines(
+    chars: CharArrays, y_tolerance: float, char_margin: float | None = None
+) -> list[np.ndarray]:
+    """Cluster char indices into text lines by vertical center.
+
+    Vectorized form of the reference's line grouping
+    (``utils.py:585-631``): chars whose vertical centers lie within
+    ``y_tolerance`` of the running line center share a line. We sort
+    centers descending (top of page first) and cut where the gap
+    between consecutive centers >= tolerance, then order each line's
+    chars left-to-right. When ``char_margin`` is given, a y-line is
+    additionally split where the horizontal gap between consecutive
+    chars exceeds ``char_margin × char_width`` (pdfminer LAParams
+    char_margin — this is what separates side-by-side columns).
+
+    Returns a list of index arrays (into ``chars``), top-to-bottom,
+    each sorted by x0.
+    """
+    n = len(chars)
+    if n == 0:
+        return []
+    yc = (chars.y0 + chars.y1) * 0.5
+    order = np.argsort(-yc, kind="stable")
+    yc_sorted = yc[order]
+    # new line where the descending center drops by >= tolerance
+    breaks = np.empty(n, dtype=bool)
+    breaks[0] = True
+    if n > 1:
+        breaks[1:] = (yc_sorted[:-1] - yc_sorted[1:]) >= y_tolerance
+    line_id = np.cumsum(breaks) - 1
+    lines: list[np.ndarray] = []
+    for lid in range(line_id[-1] + 1):
+        members = order[line_id == lid]
+        members = members[np.argsort(chars.x0[members], kind="stable")]
+        if char_margin is None or len(members) < 2:
+            lines.append(members)
+            continue
+        widths = chars.x1[members] - chars.x0[members]
+        hgaps = chars.x0[members][1:] - chars.x1[members][:-1]
+        split_after = hgaps > char_margin * widths[1:]
+        if not split_after.any():
+            lines.append(members)
+            continue
+        seg = np.zeros(len(members), dtype=np.int64)
+        seg[1:] = np.cumsum(split_after)
+        for s in range(seg[-1] + 1):
+            lines.append(members[seg == s])
+    return lines
+
+
+def assemble_line_text(
+    chars: CharArrays, line: np.ndarray, word_margin: float
+) -> tuple[str, np.ndarray]:
+    """Assemble one line's text, inserting spaces at word gaps.
+
+    pdfminer semantics: a space separator is inserted before a char
+    whose horizontal gap to the previous char exceeds
+    ``word_margin * width(char)`` (LTTextLineHorizontal.add). Words
+    join with "" internally and with " " across
+    (``horizontal_box.py:93-95,144-147``).
+
+    Returns ``(text, offsets)`` where ``offsets[i]`` is the position
+    of line char ``i`` in ``text``.
+    """
+    xs0 = chars.x0[line]
+    xs1 = chars.x1[line]
+    widths = xs1 - xs0
+    gaps = np.empty(len(line))
+    gaps[0] = 0.0
+    if len(line) > 1:
+        gaps[1:] = xs0[1:] - xs1[:-1]
+    space_before = gaps > word_margin * widths
+    space_before[0] = False
+    offsets = np.arange(len(line), dtype=np.int64) + np.cumsum(space_before)
+    pieces = []
+    for i, ci in enumerate(line):
+        if space_before[i]:
+            pieces.append(" ")
+        pieces.append(chars.text[ci])
+    return "".join(pieces), offsets
+
+
+def _connected_components(adjacent: np.ndarray) -> np.ndarray:
+    """Connected-component labels of a small boolean adjacency matrix
+    via vectorized min-label propagation (N is lines/boxes per page —
+    tens, not thousands)."""
+    n = adjacent.shape[0]
+    adj = adjacent | np.eye(n, dtype=bool)
+    labels = np.arange(n)
+    while True:
+        # label of i becomes the min label among neighbors
+        neigh = np.where(adj, labels[None, :], n)
+        new = neigh.min(axis=1)
+        if np.array_equal(new, labels):
+            return labels
+        labels = new
+
+
+def group_boxes(
+    chars: CharArrays,
+    lines: list[np.ndarray],
+    line_margin: float,
+) -> list[list[int]]:
+    """Group text lines into boxes (LTTextBox grouping).
+
+    pdfminer groups two lines into one box when they overlap
+    horizontally and their vertical gap is below
+    ``line_margin * line_height``. We build the adjacency with a
+    numpy O(L²) broadcast (L = lines/page, small) and take connected
+    components.
+
+    Returns lists of line indices per box (unordered).
+    """
+    L = len(lines)
+    if L == 0:
+        return []
+    lx0 = np.array([chars.x0[l].min() for l in lines])
+    lx1 = np.array([chars.x1[l].max() for l in lines])
+    ly0 = np.array([chars.y0[l].min() for l in lines])
+    ly1 = np.array([chars.y1[l].max() for l in lines])
+    height = ly1 - ly0
+    # pairwise: horizontal overlap AND vertical gap < line_margin * max(height)
+    x_overlap = (lx0[:, None] < lx1[None, :]) & (lx1[:, None] > lx0[None, :])
+    gap = np.maximum(
+        ly0[:, None] - ly1[None, :], ly0[None, :] - ly1[:, None]
+    )  # positive gap between vertically disjoint lines
+    tol = line_margin * np.maximum(height[:, None], height[None, :])
+    adjacent = x_overlap & (gap < tol)
+    labels = _connected_components(adjacent)
+    boxes: dict[int, list[int]] = {}
+    for i, lab in enumerate(labels):
+        boxes.setdefault(int(lab), []).append(i)
+    return list(boxes.values())
+
+
+def order_boxes_reading(boxes_meta: list[tuple[float, float, float, float]]) -> list[int]:
+    """Reading order for boxes on one page (boxes_flow behavior).
+
+    Column-aware: boxes whose x-intervals transitively overlap form a
+    column; columns read left-to-right, boxes within a column
+    top-to-bottom. On single-column pages this degenerates to plain
+    top-down order, matching the reference's sort key
+    ``(page, page_height - y0)`` (``process.py:202-207``); on
+    multi-column fixtures it yields column-major order like
+    pdfminer's boxes_flow.
+    """
+    B = len(boxes_meta)
+    if B == 0:
+        return []
+    bx0 = np.array([b[0] for b in boxes_meta])
+    bx1 = np.array([b[2] for b in boxes_meta])
+    by1 = np.array([b[3] for b in boxes_meta])
+    overlap = (bx0[:, None] < bx1[None, :]) & (bx1[:, None] > bx0[None, :])
+    labels = _connected_components(overlap)
+    col_minx = {}
+    for i, lab in enumerate(labels):
+        col_minx[lab] = min(col_minx.get(lab, np.inf), bx0[i])
+    keys = [(col_minx[labels[i]], labels[i], -by1[i], bx0[i]) for i in range(B)]
+    return sorted(range(B), key=lambda i: keys[i])
+
+
+def build_boxes(
+    chars: CharArrays,
+    cfg: ExtractConfig,
+    char_index_base: np.ndarray | None = None,
+) -> list[Box]:
+    """Full char→line→box assembly for ONE page's chars.
+
+    ``char_index_base`` maps local char positions back to document-level
+    char indices (for link scanning); defaults to identity.
+    """
+    if len(chars) == 0:
+        return []
+    if char_index_base is None:
+        char_index_base = np.arange(len(chars), dtype=np.int64)
+    heights = chars.y1 - chars.y0
+    med_h = float(np.median(heights)) if len(heights) else 10.0
+    y_tol = max(cfg.line_overlap * med_h, 1e-9)
+    lines = group_lines(chars, y_tol, char_margin=cfg.char_margin)
+    line_groups = group_boxes(chars, lines, cfg.line_margin)
+
+    boxes: list[Box] = []
+    metas: list[tuple[float, float, float, float]] = []
+    for group in line_groups:
+        # order lines inside the box top-to-bottom
+        group_sorted = sorted(
+            group, key=lambda li: -float(chars.y1[lines[li]].max())
+        )
+        text_parts: list[str] = []
+        all_idx: list[np.ndarray] = []
+        all_off: list[np.ndarray] = []
+        line_spans: list[tuple[int, int]] = []
+        cursor = 0
+        nchars = 0
+        for k, li in enumerate(group_sorted):
+            line = lines[li]
+            ltext, loff = assemble_line_text(chars, line, cfg.word_margin)
+            if k > 0:
+                cursor += 1  # the "\n" separator (horizontal_box.py:197-200)
+            text_parts.append(ltext)
+            all_idx.append(char_index_base[line])
+            all_off.append(loff + cursor)
+            line_spans.append((nchars, nchars + len(line)))
+            nchars += len(line)
+            cursor += len(ltext)
+        text = "\n".join(text_parts)
+        idx = np.concatenate(all_idx)
+        off = np.concatenate(all_off)
+        member_chars = np.concatenate([lines[li] for li in group_sorted])
+        x0 = float(chars.x0[member_chars].min())
+        y0 = float(chars.y0[member_chars].min())
+        x1 = float(chars.x1[member_chars].max())
+        y1 = float(chars.y1[member_chars].max())
+        boxes.append(
+            Box(
+                page=int(chars.page[0]),
+                x0=x0, y0=y0, x1=x1, y1=y1,
+                text=text,
+                char_idx=idx,
+                offsets=off,
+                line_spans=line_spans,
+                fontname=_uniform(chars.fontname[member_chars]),
+                ncolor=_uniform(chars.ncolor[member_chars]),
+            )
+        )
+        metas.append((x0, y0, x1, y1))
+
+    order = order_boxes_reading(metas)
+    return [boxes[i] for i in order]
+
+
+def crop_mask(
+    chars: CharArrays, page_w: float, page_h: float, cfg: ExtractConfig
+) -> np.ndarray:
+    """Static page-crop filter (F1): keep chars inside crop margins
+    (``textbox.py:963-975``, ``parameters.py:131-136``)."""
+    if not (cfg.crop_top or cfg.crop_right or cfg.crop_bottom or cfg.crop_left):
+        return np.ones(len(chars), dtype=bool)
+    return (
+        (chars.y1 <= page_h - cfg.crop_top)
+        & (chars.y0 >= cfg.crop_bottom)
+        & (chars.x0 >= cfg.crop_left)
+        & (chars.x1 <= page_w - cfg.crop_right)
+    )
+
+
+def is_noise(text: str) -> bool:
+    """Empty/whitespace-textbox filter (F3, ``textbox.py:124-134``)."""
+    return text.strip() == ""
+
+
+def boxes_for_page(
+    chars: CharArrays,
+    page_no: int,
+    page_w: float,
+    page_h: float,
+    cfg: ExtractConfig,
+) -> list[Box]:
+    """Assemble the noise-filtered, crop-filtered boxes of one page."""
+    on_page = np.where(chars.page == page_no)[0]
+    if len(on_page) == 0:
+        return []
+    sub = chars.take(on_page)
+    keep = crop_mask(sub, page_w, page_h, cfg)
+    on_page = on_page[keep]
+    if len(on_page) == 0:
+        return []
+    sub = chars.take(on_page)
+    boxes = build_boxes(sub, cfg, char_index_base=on_page)
+    return [b for b in boxes if not is_noise(b.text)]
