@@ -17,6 +17,8 @@ from __future__ import annotations
 import random
 from dataclasses import dataclass, field
 
+from libpdf_spark.payload import embed
+
 CHAR_W = 6.0
 CHAR_H = 10.0
 LINE_PITCH = 13.0
@@ -639,6 +641,122 @@ def family_full_features(seed: int = 0) -> DocBuilder:
     s, e = b.add_link(p, 0, (0, 2), dest={"page": 2, "x": 72.0, "y": 740.0})
     p.links.append((s, e, "chapter.3"))
     return b
+
+
+# --------------------------------------------------------------------------
+# transcript corpus generation (input_hint shape)
+# --------------------------------------------------------------------------
+
+
+def doc_from_text(text: str, per_line: int = 8, lines_per_para: int = 4) -> DocBuilder:
+    """Wrap arbitrary text into a single-column layout document.
+
+    Deterministic: words flow onto a monospace grid, ``lines_per_para``
+    lines per paragraph, new pages as needed. Used to turn the driver's
+    ``documents`` table into document-bearing turns for ``entry()`` and
+    the bench harness.
+    """
+    words = text.split()
+    if not words:
+        words = ["empty"]
+    lines: list[str] = []
+    for i in range(0, len(words), per_line):
+        lines.append(" ".join(words[i : i + per_line]))
+    paras = [
+        lines[i : i + lines_per_para] for i in range(0, len(lines), lines_per_para)
+    ]
+    paras_per_page = 5
+    n_pages = max(1, (len(paras) + paras_per_page - 1) // paras_per_page)
+    b = DocBuilder(n_pages=n_pages)
+    for pi, para in enumerate(paras):
+        page = pi // paras_per_page + 1
+        slot = pi % paras_per_page
+        y = 740.0 - slot * (lines_per_para * LINE_PITCH + 26.0)
+        b.add_paragraph(page, 72.0, y, para)
+    return b
+
+
+def gen_transcripts(
+    n_convs: int = 20,
+    seed: int = 42,
+    doc_every: int = 3,
+    zipf_a: float = 1.8,
+    max_turns: int = 40,
+):
+    """Deterministic transcript corpus matching ``input_hint`` exactly:
+    ``(conv_id string, turn_idx int32, role string, text string,
+    tool string, ts timestamp)``.
+
+    Conversation lengths are Zipf-skewed (to exercise salting); every
+    ``doc_every``-th turn embeds a fixture-family document; families
+    cycle deterministically. Returns
+    ``(transcripts_df, expected_text_df, expected_elements_df)`` as
+    pandas DataFrames.
+    """
+    import pandas as pd
+
+    rng = random.Random(seed)
+    fam_names = sorted(FAMILIES)
+    rows = []
+    exp_text = []
+    exp_elem = []
+    base_ts = pd.Timestamp("2026-01-01 00:00:00")
+    for ci in range(n_convs):
+        conv_id = f"conv-{seed}-{ci:05d}"
+        # Zipf-ish length: heavy head, long tail
+        r = rng.random()
+        n_turns = max(2, min(max_turns, int((1.0 / (r + 0.02)) ** (1.0 / zipf_a) * 4)))
+        for ti in range(n_turns):
+            role = ("user", "assistant", "tool")[ti % 3]
+            ts = base_ts + pd.Timedelta(minutes=ci * 1000 + ti)
+            if ti % doc_every == doc_every - 1:
+                fam = fam_names[(ci * 7 + ti) % len(fam_names)]
+                builder = FAMILIES[fam](seed=seed + ci)
+                # the corpus-level pipeline runs the DEFAULT config
+                # (smart_page_crop off, like the reference CLI default);
+                # smart-crop behavior is covered by the kernel tests
+                smart = False
+                body = embed(
+                    builder.build(),
+                    prefix=f"turn {ti} of {conv_id} carries a document: ",
+                    suffix=" (end of document)",
+                )
+                rows.append((conv_id, ti, role, body, None, ts))
+                exp_text.append(
+                    (conv_id, ti, builder.expected_text(smart_crop=smart), fam)
+                )
+                for er in builder.expected_elements(smart_crop=smart):
+                    exp_elem.append(
+                        (
+                            conv_id, ti, er["uid"], er["kind"], er["page"],
+                            er["x0"], er["y0"], er["x1"], er["y1"],
+                            er.get("row"), er.get("col"), er["text"],
+                        )
+                    )
+            else:
+                rows.append(
+                    (
+                        conv_id, ti, role,
+                        f"plain chatter turn {ti} with no embedded document",
+                        "search" if role == "tool" else None,
+                        ts,
+                    )
+                )
+    transcripts = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
+    expected_text = pd.DataFrame(
+        exp_text, columns=["conv_id", "turn_idx", "extracted_text", "family"]
+    )
+    expected_elements = pd.DataFrame(
+        exp_elem,
+        columns=[
+            "conv_id", "turn_idx", "uid", "kind", "page",
+            "x0", "y0", "x1", "y1", "row", "col", "text",
+        ],
+    )
+    return transcripts, expected_text, expected_elements
 
 
 FAMILIES = {

@@ -1,0 +1,224 @@
+"""The Spark extraction pipeline.
+
+Lifecycle (SURVEY.md §3.4):
+
+    spark.read(transcripts)                       -- Iceberg/parquet scan
+      → select(conv_id, turn_idx, text, tool)     -- explicit column pruning
+                                                     BEFORE the UDF (Catalyst
+                                                     cannot see inside it)
+      → salted repartition on conv_id             -- long-conversation skew
+      → mapInPandas(extract_batch)                -- the whole turn-local DAG,
+                                                     Arrow-batched, no
+                                                     per-row Python driver code
+      → write / orderBy(conv_id, turn_idx)        -- stable output ordering
+
+Design notes for 100 TB:
+* the UDF is the ONLY Python stage; everything before/after is
+  whole-stage-codegen relational ops;
+* Arrow batch size is capped (payloads can be MBs) via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` — set by
+  :func:`configure_session`;
+* per-turn independence makes salting safe: any turn can be processed
+  on any partition; output ordering is restored at write time;
+* parse failures NEVER abort the job — they surface as
+  ``parse_ok = false`` rows feeding the metrics table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from libpdf_spark.config import DEFAULT_CONFIG, ExtractConfig
+from libpdf_spark.kernel.document import extract_document
+from libpdf_spark.payload import find_payload
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# output schemas (DDL strings keep this module importable without a JVM)
+# ---------------------------------------------------------------------------
+
+ELEMENT_DDL = (
+    "array<struct<"
+    "uid:string,kind:string,page:int,"
+    "x0:double,y0:double,x1:double,y1:double,"
+    "row:int,col:int,text:string,number:string,"
+    "fontname:string,ncolor:array<double>,"
+    "links:array<struct<idx_start:int,idx_stop:int,target:string>>"
+    ">>"
+)
+
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, doc_found boolean, parse_ok boolean, "
+    "error string, extracted_text string, "
+    f"elements {ELEMENT_DDL}, "
+    "n_elements int, n_chars int, n_pages int, bytes_in bigint"
+)
+
+
+def _element_rows(result) -> list[dict]:
+    rows = []
+    for e in result.elements:
+        rows.append(
+            {
+                "uid": e.uid,
+                "kind": e.kind,
+                "page": e.page,
+                "x0": e.x0,
+                "y0": e.y0,
+                "x1": e.x1,
+                "y1": e.y1,
+                "row": e.row,
+                "col": e.col,
+                "text": e.text,
+                "number": e.number,
+                "fontname": e.fontname,
+                "ncolor": list(e.ncolor) if e.ncolor else None,
+                "links": [
+                    {
+                        "idx_start": l.idx_start,
+                        "idx_stop": l.idx_stop,
+                        "target": l.target,
+                    }
+                    for l in e.links
+                ],
+            }
+        )
+    return rows
+
+
+def make_extract_batch(cfg: ExtractConfig):
+    """Build the ``mapInPandas`` function (cfg travels in the closure —
+    the broadcast-config pattern replacing the reference's module
+    globals, ``parameters.py:131``)."""
+
+    def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "conv_id": [], "turn_idx": [], "doc_found": [], "parse_ok": [],
+                "error": [], "extracted_text": [], "elements": [],
+                "n_elements": [], "n_chars": [], "n_pages": [], "bytes_in": [],
+            }
+            texts = pdf["text"].to_numpy()
+            tools = pdf["tool"].to_numpy() if "tool" in pdf else [None] * len(pdf)
+            convs = pdf["conv_id"].to_numpy()
+            turns = pdf["turn_idx"].to_numpy()
+            for i in range(len(pdf)):
+                text = texts[i]
+                tool = tools[i]
+                bytes_in = (len(text) if isinstance(text, str) else 0) + (
+                    len(tool) if isinstance(tool, str) else 0
+                )
+                doc = None
+                err = None
+                try:
+                    doc = find_payload(text if isinstance(text, str) else None)
+                    if doc is None:
+                        doc = find_payload(tool if isinstance(tool, str) else None)
+                except (ValueError, KeyError, TypeError) as exc:
+                    err = f"payload: {exc}"
+                result = None
+                if doc is not None and err is None:
+                    try:
+                        result = extract_document(doc, cfg)
+                    except Exception as exc:  # noqa: BLE001 — per-turn isolation
+                        err = f"extract: {type(exc).__name__}: {exc}"
+                out["conv_id"].append(convs[i])
+                out["turn_idx"].append(int(turns[i]))
+                out["doc_found"].append(doc is not None or err is not None)
+                out["parse_ok"].append(result is not None)
+                out["error"].append(err)
+                out["extracted_text"].append(
+                    result.extracted_text if result else None
+                )
+                out["elements"].append(_element_rows(result) if result else [])
+                out["n_elements"].append(len(result.elements) if result else 0)
+                out["n_chars"].append(result.n_chars if result else 0)
+                out["n_pages"].append(len(result.pages) if result else 0)
+                out["bytes_in"].append(bytes_in)
+            yield pd.DataFrame(out)
+
+    return extract_batch
+
+
+def salted_repartition(df: "DataFrame", cfg: ExtractConfig, num_partitions: int | None = None) -> "DataFrame":
+    """Explicit salted repartitioning on conv_id (north_star verbatim).
+
+    ``conv_id`` alone is a skew key (Zipf conversation lengths);
+    hashing ``(conv_id, pmod(hash(turn_idx), SALT))`` spreads one hot
+    conversation over ``salt_buckets`` partitions. Safe because each
+    turn is independently extractable; ``(conv_id, turn_idx)`` ordering
+    is restored at write time.
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.hash("turn_idx"), F.lit(cfg.salt_buckets))
+    key = F.concat_ws("#", F.col("conv_id"), salt.cast("string"))
+    if num_partitions:
+        return df.repartition(num_partitions, key)
+    return df.repartition(key)
+
+
+def extract_turns(
+    transcripts: "DataFrame",
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+    salted: bool = True,
+) -> "DataFrame":
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
+    results, one row per input turn (the flagship pipeline)."""
+    pruned = transcripts.select("conv_id", "turn_idx", "text", "tool")
+    if cfg.pages:
+        # page pruning happens inside the kernel; turn-level pruning
+        # (e.g. only tool turns carry documents) belongs to the caller.
+        pass
+    part = salted_repartition(pruned, cfg, num_partitions) if salted else pruned
+    return part.mapInPandas(make_extract_batch(cfg), schema=EXTRACT_SCHEMA)
+
+
+def extraction_metrics(extracted: "DataFrame") -> "DataFrame":
+    """Per-conversation-bucket extraction metrics (north_star: elements/
+    turn, parse failures, bytes processed) — plain hash aggregation."""
+    from pyspark.sql import functions as F
+
+    return (
+        extracted.groupBy(F.pmod(F.hash("conv_id"), F.lit(64)).alias("bucket"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.col("doc_found").cast("int")).alias("docs"),
+            F.sum(F.col("parse_ok").cast("int")).alias("parsed"),
+            F.sum(
+                (F.col("doc_found").cast("int")) - (F.col("parse_ok").cast("int"))
+            ).alias("parse_failures"),
+            F.sum("n_elements").alias("elements"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.avg("n_elements").alias("elements_per_turn"),
+        )
+    )
+
+
+def configure_session(builder, shuffle_partitions: int = 32, arrow_batch: int = 256):
+    """Apply the engine's recommended session config (AQE, Arrow caps)."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+
+
+def write_stable(extracted: "DataFrame", path: str, fmt: str = "parquet") -> None:
+    """S7 sink with stable (conv_id, turn_idx) ordering (north_rule)."""
+    (
+        extracted.orderBy("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -1,0 +1,129 @@
+"""End-to-end Spark pipeline tests: per-turn text equality under
+stable (conv_id, turn_idx) ordering (the north rule gate)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from libpdf_spark.config import ExtractConfig
+from libpdf_spark.fixtures import gen_transcripts
+from libpdf_spark.pipeline import extract_turns, extraction_metrics
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_transcripts(n_convs=12, seed=42)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, corpus):
+    transcripts, _, _ = corpus
+    df = spark.createDataFrame(transcripts)
+    out = extract_turns(df, ExtractConfig(), num_partitions=8)
+    return out.orderBy("conv_id", "turn_idx").toPandas()
+
+
+def test_per_turn_text_equality(extracted, corpus):
+    _, expected_text, _ = corpus
+    got = (
+        extracted[extracted.parse_ok]
+        .loc[:, ["conv_id", "turn_idx", "extracted_text"]]
+        .reset_index(drop=True)
+    )
+    exp = (
+        expected_text.sort_values(["conv_id", "turn_idx"])
+        .loc[:, ["conv_id", "turn_idx", "extracted_text"]]
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp), "every document-bearing turn must parse"
+    merged = got.merge(
+        exp, on=["conv_id", "turn_idx"], suffixes=("_got", "_exp"), how="outer"
+    )
+    bad = merged[merged.extracted_text_got != merged.extracted_text_exp]
+    assert bad.empty, bad.head(3).to_dict("records")
+
+
+def test_element_spans_match(extracted, corpus):
+    _, _, expected_elements = corpus
+    rows = []
+    for _, r in extracted[extracted.parse_ok].iterrows():
+        for e in r["elements"]:
+            rows.append(
+                (
+                    r["conv_id"], r["turn_idx"], e["uid"], e["kind"], e["page"],
+                    e["x0"], e["y0"], e["x1"], e["y1"], e["row"], e["col"],
+                    e["text"],
+                )
+            )
+    got = pd.DataFrame(rows, columns=list(expected_elements.columns))
+    key = ["conv_id", "turn_idx", "uid"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = expected_elements.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exp)
+    for col in ("kind", "page", "text"):
+        assert (got[col] == exp[col]).all(), col
+    for col in ("x0", "y0", "x1", "y1"):
+        assert (got[col] - exp[col]).abs().max() < 1e-6, col
+
+
+def test_non_document_turns_pass_through(extracted):
+    chatter = extracted[~extracted.doc_found]
+    assert len(chatter) > 0
+    assert chatter.extracted_text.isna().all()
+    assert (chatter.n_elements == 0).all()
+
+
+def test_corrupt_payload_is_isolated(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["tool", "tool"],
+            "text": [
+                "<<<LIBPDF_DOC>>>{not json<<<END_LIBPDF_DOC>>>",
+                "fine chatter",
+            ],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+        }
+    )
+    out = extract_turns(spark.createDataFrame(pdf), ExtractConfig()).toPandas()
+    out = out.sort_values("turn_idx").reset_index(drop=True)
+    assert bool(out.loc[0, "doc_found"]) is True
+    assert bool(out.loc[0, "parse_ok"]) is False
+    assert "payload" in out.loc[0, "error"]
+    assert bool(out.loc[1, "doc_found"]) is False
+
+
+def test_metrics_aggregation(spark, corpus):
+    transcripts, expected_text, _ = corpus
+    df = spark.createDataFrame(transcripts)
+    m = extraction_metrics(extract_turns(df, ExtractConfig())).toPandas()
+    assert m.turns.sum() == len(transcripts)
+    assert m.parsed.sum() == len(expected_text)
+    assert m.parse_failures.sum() == 0
+
+
+def test_salted_repartition_spreads_hot_conversation(spark):
+    from libpdf_spark.pipeline import salted_repartition
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["hot"] * 64,
+            "turn_idx": pd.array(range(64), dtype="int32"),
+            "text": ["x"] * 64,
+            "tool": [None] * 64,
+        }
+    )
+    df = salted_repartition(spark.createDataFrame(pdf), ExtractConfig(), 8)
+    import pyspark.sql.functions as F
+
+    counts = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .toPandas()
+    )
+    # a single conv_id must land on >1 partition thanks to the salt
+    assert len(counts) > 1, counts
