@@ -1,0 +1,315 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), word-shingle Jaccard, MinHash+LSH, and SimHash —
+each over the ``documents`` table, each with a DuckDB oracle.
+
+Scale posture:
+* exact dedup is one hash-agg shuffle on the fingerprint;
+* shingle explode → self-join is the candidate generator; at corpus
+  scale the LSH variant bounds candidates to same-band buckets, which
+  is the only path that survives 10^9 docs (the brute pair join is
+  kept as the small-scale verifier);
+* all hashes are md5-based so Spark and DuckDB agree bit-for-bit —
+  min() over hex strings is engine-independent (lexicographic).
+"""
+
+from __future__ import annotations
+
+from libpdf_spark.operators.common import load
+
+N_MINHASH = 8
+N_BANDS = 4  # rows-per-band = 2
+JACCARD_THRESHOLD = 0.5
+
+
+def _F():
+    from pyspark.sql import functions as F
+
+    return F
+
+
+# --- exact dedup -------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    """Exact duplicate groups by md5(text); the survivor is the min
+    doc_id per group (deterministic)."""
+    F = _F()
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+    SELECT md5(text) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS group_size
+    FROM documents GROUP BY md5(text)
+"""
+
+
+# --- word-trigram shingles (shared by jaccard + minhash) -----------------------
+def _shingles_df(spark, sf_dir):
+    """doc_id → distinct word-trigram shingles, JVM-side only."""
+    F = _F()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    tri = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i + 1), F.element_at("w", i + 2), F.element_at("w", i + 3)
+                ),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    return tri.select("doc_id", F.explode("shingles").alias("shingle"))
+
+
+_SQL_SHINGLES = r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([ w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w) - 1) ])) AS shingle
+      FROM words WHERE len(w) >= 3
+    )
+"""
+
+
+# --- n-gram Jaccard dedup -------------------------------------------------------
+def q_dedup_jaccard(spark, sf_dir):
+    """Near-duplicate pairs by word-trigram Jaccard >= threshold.
+
+    Candidate pairs = pairs sharing >= 1 shingle (equi-join on the
+    shingle — the only shuffle key); Jaccard from intersection and
+    per-doc distinct counts, no second pass over text."""
+    F = _F()
+    sh = _shingles_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_DEDUP_JACCARD = (
+    _SQL_SHINGLES
+    + f"""
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    , inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(inter / (sa.n + sb.n - inter), 6) >= {JACCARD_THRESHOLD}
+"""
+)
+
+
+# --- MinHash signatures + LSH bands ----------------------------------------------
+def q_minhash_signatures(spark, sf_dir):
+    """Per-doc MinHash signature: min(md5(seed|shingle)) per seed —
+    hex-string min is engine-portable; band keys = md5 over
+    rows-per-band concatenated mins (the LSH bucketing key)."""
+    F = _F()
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    rows_per_band = N_MINHASH // N_BANDS
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", *band_cols)
+
+
+def _sql_minhash():
+    mins = ",\n             ".join(
+        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(N_MINHASH)
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = ",\n           ".join(
+        "md5("
+        + " || '|' || ".join(f"m{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f") AS band{b}"
+        for b in range(N_BANDS)
+    )
+    return (
+        _SQL_SHINGLES
+        + f"""
+    , sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {bands}
+    FROM sig
+"""
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """LSH candidate pairs: docs sharing any band bucket. At corpus
+    scale this replaces the all-pairs shingle join — the join key is
+    the band hash, so only probable near-dups collide."""
+    F = _F()
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select("doc_id", F.col(f"band{b}").alias("bucket"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _sql_minhash_lsh():
+    rows_per_band = N_MINHASH // N_BANDS
+    mins = ",\n             ".join(
+        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(N_MINHASH)
+    )
+    band_exprs = []
+    for b in range(N_BANDS):
+        e = "md5(" + " || '|' || ".join(
+            f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+        ) + ")"
+        band_exprs.append(f"SELECT doc_id, {e} AS bucket FROM sig")
+    union = "\n      UNION ALL\n      ".join(band_exprs)
+    return (
+        _SQL_SHINGLES
+        + f"""
+    , sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ), bands AS (
+      {union}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+    )
+
+
+# --- SimHash ----------------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def _hexdigit_pos_expr(engine: str, md5_expr: str, j: int) -> str:
+    """Bit j (0..15) of a 16-bit simhash from the first 4 hex chars of
+    an md5: hex digit index j//4, bit (3 - j%4)."""
+    digit = f"substr({md5_expr}, {1 + j // 4}, 1)"
+    if engine == "duckdb":
+        val = f"(strpos('0123456789abcdef', {digit}) - 1)"
+    else:  # spark
+        val = f"(instr('0123456789abcdef', {digit}) - 1)"
+    return f"(({val} >> {3 - j % 4}) & 1)"
+
+
+def _simhash_sql(engine: str) -> str:
+    md5e = "md5(token)"
+    per_bit = []
+    for j in range(SIMHASH_BITS):
+        bit = _hexdigit_pos_expr(engine, md5e, j)
+        per_bit.append(f"SUM(2 * {bit} - 1) AS s{j}")
+    sums = ",\n             ".join(per_bit)
+    weighted = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    if engine == "duckdb":
+        tokens = r"""
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+        """
+    else:
+        tokens = r"""
+      SELECT doc_id, explode(split(trim(text), '\\s+')) AS token
+      FROM documents
+        """
+    return f"""
+    WITH tok AS (
+      {tokens}
+    ), bits AS (
+      SELECT doc_id,
+             {sums}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({weighted} AS BIGINT) AS simhash
+    FROM bits
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash per document (token-unigram features). Generated
+    as one SQL expression tree — stays fully inside whole-stage
+    codegen, no UDF."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql("spark"))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "minhash_signatures": _sql_minhash(),
+    "dedup_minhash_lsh": _sql_minhash_lsh(),
+    "simhash": _simhash_sql("duckdb"),
+}

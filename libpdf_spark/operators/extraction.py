@@ -1,0 +1,106 @@
+"""Extraction queries over driver testdata (non-SQL-expressible tier).
+
+Wraps the ``documents`` table into document-bearing transcript turns
+(deterministic layout via :func:`libpdf_spark.fixtures.doc_from_text`)
+and runs the full ``mapInPandas`` extraction pipeline. No DuckDB
+oracle exists for these (the kernel itself is the operator under
+test) — the driver records a rows-only check; per-turn text equality
+is enforced by the pytest suite instead.
+"""
+
+from __future__ import annotations
+
+from libpdf_spark.config import ExtractConfig
+from libpdf_spark.operators.common import load
+
+
+def transcripts_from_documents(spark, sf_dir: str, limit: int | None = None):
+    """documents(doc_id, text, …) → transcripts(conv_id, turn_idx,
+    role, text, tool, ts): every document becomes the tool-turn of a
+    conversation; conv assignment buckets 16 docs per conversation.
+
+    The payload embedding runs inside ``mapInPandas`` too — the
+    builder is deterministic, so expected extraction output is a
+    function of the input text alone.
+    """
+    from pyspark.sql import functions as F
+
+    from libpdf_spark.fixtures import doc_from_text
+    from libpdf_spark.payload import embed
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if limit:
+        docs = docs.limit(limit)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "conv_id": [], "turn_idx": [], "role": [],
+                "text": [], "tool": [], "ts": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                builder = doc_from_text(text)
+                rows["conv_id"].append(f"doc-conv-{int(doc_id) // 16:06d}")
+                rows["turn_idx"].append(int(doc_id) % 16)
+                rows["role"].append("tool")
+                rows["text"].append(
+                    embed(builder.build(), prefix=f"doc {int(doc_id)}: ")
+                )
+                rows["tool"].append(None)
+                rows["ts"].append(pd.Timestamp("2026-01-01"))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        build,
+        schema="conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def q_extract_documents(spark, sf_dir):
+    """Flagship: full extraction over document-bearing turns."""
+    from pyspark.sql import functions as F
+
+    from libpdf_spark.pipeline import extract_turns
+
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    out = extract_turns(transcripts, ExtractConfig())
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "parse_ok",
+        "n_elements",
+        "n_pages",
+        F.length("extracted_text").alias("text_len"),
+        F.md5("extracted_text").alias("text_md5"),
+    )
+
+
+def q_extract_element_stats(spark, sf_dir):
+    """Element-kind histogram across the extracted corpus — explode
+    the nested element array and hash-aggregate."""
+    from pyspark.sql import functions as F
+
+    from libpdf_spark.pipeline import extract_turns
+
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    out = extract_turns(transcripts, ExtractConfig())
+    return (
+        out.select(F.explode("elements").alias("e"))
+        .groupBy(F.col("e.kind").alias("kind"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.length("e.text")), 4).alias("avg_text_len"),
+        )
+    )
+
+
+QUERIES = {
+    "extract_documents": q_extract_documents,
+    "extract_element_stats": q_extract_element_stats,
+}
+
+# non-SQL-expressible: the kernel IS the operator; rows-only checks
+ORACLES: dict[str, str] = {}

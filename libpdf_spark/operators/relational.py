@@ -1,0 +1,486 @@
+"""Relational [D]-tier operators, one per SURVEY.md §2 shape.
+
+Each mirrors a dataflow operator of the reference engine, lifted to
+corpus scale on the testdata star schema. The reference file:line for
+the shape is cited per function.
+
+Scale notes (100 TB posture):
+* dimension joins broadcast explicitly (``F.broadcast``);
+* sums over doubles go through DECIMAL(18,4) so Spark's partial
+  aggregation order and DuckDB's sequential order produce identical
+  results (exact arithmetic), then cast back to double;
+* window functions partition on the natural key — no global sorts.
+"""
+
+from __future__ import annotations
+
+from libpdf_spark.operators.common import load
+
+
+def _F():
+    from pyspark.sql import functions as F
+
+    return F
+
+
+def _exact_sum(col):
+    F = _F()
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+
+
+# --- S3/F-tier: scan pruning + projection pushdown -------------------------
+def q_scan_prune(spark, sf_dir):
+    """Predicate + column pushdown to the parquet scan (S3,
+    ``core.py:536-553`` page pruning; F1-F4 filter shapes)."""
+    F = _F()
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+# --- J1: interval/containment join (broadcast range join) ------------------
+_BUCKETS = [(0, 10, "small"), (10, 25, "medium"), (25, 40, "large"), (40, 51, "xlarge")]
+
+
+def q_interval_join(spark, sf_dir):
+    """bbox-containment join shape (J1, ``utils.py:212-257``): fact
+    value contained in a dimension interval; small side broadcast —
+    BroadcastNestedLoopJoin stays cheap because one side is tiny."""
+    F = _F()
+    buckets = spark.createDataFrame(_BUCKETS, "lo int, hi int, bucket string")
+    part = load(spark, sf_dir, "part")
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (part.p_size >= buckets.lo) & (part.p_size < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            _exact_sum("p_retailprice").alias("sum_price"),
+        )
+    )
+
+
+def _sql_interval_join():
+    vals = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _BUCKETS)
+    return f"""
+        SELECT b.bucket AS bucket,
+               COUNT(*) AS n_parts,
+               CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        FROM part p
+        JOIN (VALUES {vals}) AS b(lo, hi, bucket)
+          ON p.p_size >= b.lo AND p.p_size < b.hi
+        GROUP BY b.bucket
+    """
+
+
+# --- J6/O2/W2: fuzzy top-1 join with tie-break ------------------------------
+def q_top1_per_group(spark, sf_dir):
+    """Top-1 winner per group with deterministic tie-break (J6 referee
+    shape, ``textbox.py:386-528``; W2 vertical-distance tie-break)."""
+    F = _F()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOP1 = """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+"""
+
+
+# --- A1: bbox-union aggregation ---------------------------------------------
+def q_bbox_union_agg(spark, sf_dir):
+    """min/max hull per group (A1, ``horizontal_box.py:79-83``) —
+    map-side combinable hash agg."""
+    F = _F()
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_discount").alias("x0"),
+            F.min("l_tax").alias("y0"),
+            F.max("l_discount").alias("x1"),
+            F.max("l_tax").alias("y1"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_BBOX_UNION = """
+    SELECT l_orderkey,
+           MIN(l_discount) AS x0, MIN(l_tax) AS y0,
+           MAX(l_discount) AS x1, MAX(l_tax) AS y1,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- A2: order-sensitive text assembly --------------------------------------
+def q_text_assembly(spark, sf_dir):
+    """Ordered concat per group (A2, ``horizontal_box.py:93-200``):
+    explicit in-array sort before joining — Spark's collect_list has
+    no intrinsic order, so the sort key travels inside the struct."""
+    F = _F()
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "l_returnflag"))
+                    ),
+                    lambda s: s.l_returnflag,
+                ),
+                "",
+            ).alias("flags")
+        )
+    )
+
+
+SQL_TEXT_ASSEMBLY = """
+    SELECT l_orderkey,
+           STRING_AGG(l_returnflag, '' ORDER BY l_linenumber, l_returnflag) AS flags
+    FROM lineitem GROUP BY l_orderkey
+"""
+# NOTE: the testdata carries duplicate l_linenumber per order, so the
+# tie-break on l_returnflag is required for a deterministic result —
+# Spark's array_sort over struct(l_linenumber, l_returnflag) already
+# sorts the full tuple.
+
+
+# --- A3: uniform-attribute lift ----------------------------------------------
+def q_uniform_attr(spark, sf_dir):
+    """Attribute promoted iff identical across children (A3,
+    ``horizontal_box.py:84-90``)."""
+    F = _F()
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.when(
+                F.size(F.collect_set("l_linestatus")) == 1,
+                F.min("l_linestatus"),
+            ).alias("uniform_status")
+        )
+    )
+
+
+SQL_UNIFORM_ATTR = """
+    SELECT l_orderkey,
+           CASE WHEN COUNT(DISTINCT l_linestatus) = 1
+                THEN MIN(l_linestatus) END AS uniform_status
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- A5/W1: per-scope renumbering --------------------------------------------
+def q_renumber(spark, sf_dir):
+    """1-based idx per scope in stable order (A5, ``process.py:308-317``;
+    W1 paragraph numbering ``textbox.py:543-571``)."""
+    F = _F()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("idx"),
+        )
+    )
+
+
+SQL_RENUMBER = """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS idx
+    FROM orders
+"""
+
+
+# --- W3: neighbor lookahead ---------------------------------------------------
+def q_lead_lag(spark, sf_dir):
+    """lead() neighbor inspection (W3, ``textbox.py:771-791``)."""
+    F = _F()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.lead(F.unix_timestamp("ts")).over(w) - F.unix_timestamp("ts")
+        ).alias("gap_s"),
+    )
+
+
+SQL_LEAD_LAG = """
+    SELECT user_id, event_id,
+           CAST(date_diff('second', ts,
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                AS BIGINT) AS gap_s
+    FROM events
+"""
+
+
+# --- W4: run segmentation (sessionization) -----------------------------------
+def q_run_segmentation(spark, sf_dir):
+    """lag-diff + cumulative-sum segment ids (W4, ``utils.py:585-631``
+    line grouping shape) → session counts per user."""
+    F = _F()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    seg = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+            > 1800,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_RUN_SEGMENTATION = """
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                  WHEN date_diff('second', LAG(ts) OVER w, ts) > 1800 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t GROUP BY user_id
+"""
+
+
+# --- A4/J10: header/footer occurrence aggregation ------------------------------
+def q_repeated_position_agg(spark, sf_dir):
+    """Repeated-position detection (A4/J10, ``extract.py:259-336``):
+    band elements by rounded coordinate, count distinct pages (days),
+    keep bands above the occurrence threshold."""
+    F = _F()
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.round("value", 0).alias("y_band"))
+        .agg(
+            F.countDistinct(F.to_date("ts")).alias("n_days"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
+
+
+SQL_REPEATED_POSITION = """
+    SELECT ROUND(value, 0) AS y_band,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY ROUND(value, 0)
+    HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 5
+"""
+
+
+# --- O1/U1/O2: union + sort + top-k --------------------------------------------
+def q_merge_sort_topk(spark, sf_dir):
+    """Merge element kinds + reading-order sort + top-k (O1/U1,
+    ``process.py:189-209``; O2 top-k)."""
+    F = _F()
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return (
+        cust.unionByName(supp)
+        .orderBy(F.desc("acctbal"), F.asc("name"))
+        .limit(20)
+    )
+
+
+SQL_MERGE_SORT_TOPK = """
+    SELECT * FROM (
+      SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+    ) u ORDER BY acctbal DESC, name ASC LIMIT 20
+"""
+
+
+# --- U2: anti-join (except/removal) ---------------------------------------------
+def q_antijoin(spark, sf_dir):
+    """Removal of matched members (U2, ``textbox.py:226-229``):
+    customers with no 1998 orders, as a left anti-join (the date
+    filter keeps the result non-empty at every SF — a 0-row match
+    would be a vacuous correctness check)."""
+    F = _F()
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1998-01-01")
+        .select("o_custkey")
+    )
+    return (
+        load(spark, sf_dir, "customer")
+        .join(orders, on=[F.col("c_custkey") == F.col("o_custkey")], how="left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_ANTIJOIN = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1998-01-01')
+"""
+
+
+# --- hash-agg metrics shape (TPC-H Q1 style) --------------------------------------
+def q_pricing_summary(spark, sf_dir):
+    """The metrics-table aggregation shape (SURVEY §2.4): wide hash agg
+    with exact decimal sums; partial aggregation (map-side combine)
+    comes free from Catalyst."""
+    F = _F()
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _exact_sum("l_quantity").alias("sum_qty"),
+            _exact_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+                ).cast("decimal(28,8)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- broadcast dimension join chain -----------------------------------------------
+def q_nation_revenue(spark, sf_dir):
+    """Star join with explicit broadcast of the dimensions — the plan
+    must show BroadcastHashJoin, never a shuffled sort-merge join for
+    a 25-row dim."""
+    F = _F()
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _exact_sum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+    SELECT n.n_name AS n_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+QUERIES = {
+    "scan_prune": q_scan_prune,
+    "interval_join": q_interval_join,
+    "top1_per_group": q_top1_per_group,
+    "bbox_union_agg": q_bbox_union_agg,
+    "text_assembly": q_text_assembly,
+    "uniform_attr": q_uniform_attr,
+    "renumber": q_renumber,
+    "lead_lag": q_lead_lag,
+    "run_segmentation": q_run_segmentation,
+    "repeated_position_agg": q_repeated_position_agg,
+    "merge_sort_topk": q_merge_sort_topk,
+    "antijoin": q_antijoin,
+    "pricing_summary": q_pricing_summary,
+    "nation_revenue": q_nation_revenue,
+}
+
+ORACLES = {
+    "scan_prune": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1996-01-01'
+          AND l_quantity > 45
+    """,
+    "interval_join": _sql_interval_join(),
+    "top1_per_group": SQL_TOP1,
+    "bbox_union_agg": SQL_BBOX_UNION,
+    "text_assembly": SQL_TEXT_ASSEMBLY,
+    "uniform_attr": SQL_UNIFORM_ATTR,
+    "renumber": SQL_RENUMBER,
+    "lead_lag": SQL_LEAD_LAG,
+    "run_segmentation": SQL_RUN_SEGMENTATION,
+    "repeated_position_agg": SQL_REPEATED_POSITION,
+    "merge_sort_topk": SQL_MERGE_SORT_TOPK,
+    "antijoin": SQL_ANTIJOIN,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "nation_revenue": SQL_NATION_REVENUE,
+}

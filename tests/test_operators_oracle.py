@@ -1,0 +1,81 @@
+"""Every queries() entry vs its DuckDB oracle at sf0.001 — the local
+mirror of the driver's correctness gate (row count + sorted-column
+value comparison)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness-gate scale
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify int32/int64 widths
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, con):
+    raw = QUERIES[name](spark, SF_DIR).toPandas()
+    got = _normalize(raw)
+    if name not in ORACLES:
+        # non-SQL-expressible: rows-only sanity (driver's weaker check)
+        assert len(got) > 0
+        return
+    raw_exp = con.sql(ORACLES[name]).df()
+    # integer-width parity: int32 vs int64 would fail a strict schema gate
+    for c in sorted(set(raw.columns) & set(raw_exp.columns)):
+        a, b = raw[c].dtype, raw_exp[c].dtype
+        if pd.api.types.is_integer_dtype(a) or pd.api.types.is_integer_dtype(b):
+            assert str(a) == str(b), f"{name}.{c}: spark {a} vs duckdb {b}"
+    exp = _normalize(raw_exp)
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), f"{name}: {len(got)} vs {len(exp)} rows"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]):
+            a, b = got[c].to_numpy(), exp[c].to_numpy()
+            mask = ~(pd.isna(a) & pd.isna(b))
+            assert (abs(a[mask] - b[mask]) < 1e-9).all(), f"{name}.{c}"
+        else:
+            assert got[c].equals(exp[c]), f"{name}.{c}\n{got[c].head()}\n{exp[c].head()}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert pdf.parse_ok.all()
+    assert (pdf.n_elements > 0).all()
