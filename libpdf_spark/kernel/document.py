@@ -141,8 +141,11 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
         "trapped": meta_raw.get("trapped"),
     }
 
-    all_chars = [c for c in doc.get("chars", []) if int(c["page"]) in page_dims]
-    chars = CharArrays.from_records(all_chars)
+    chars = CharArrays.from_payload(doc.get("chars"))
+    if len(chars):
+        keep = np.isin(chars.page, np.fromiter(page_dims, dtype=np.int32))
+        if not keep.all():
+            chars = chars.take(np.where(keep)[0])
 
     # --- figures (F4, F5) ---
     figures: list[Figure] = []

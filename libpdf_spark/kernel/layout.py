@@ -65,6 +65,33 @@ class CharArrays:
             ),
         )
 
+    @classmethod
+    def from_columnar(cls, cols: dict) -> "CharArrays":
+        """Columnar payload encoding (payload.to_columnar_chars) —
+        near-zero-copy into numpy."""
+        n = len(cols["page"])
+        return cls(
+            page=np.asarray(cols["page"], dtype=np.int32),
+            text=np.asarray(cols["text"], dtype=object),
+            x0=np.asarray(cols["x0"], dtype=np.float64),
+            y0=np.asarray(cols["y0"], dtype=np.float64),
+            x1=np.asarray(cols["x1"], dtype=np.float64),
+            y1=np.asarray(cols["y1"], dtype=np.float64),
+            fontname=np.asarray(
+                cols.get("fontname") or [None] * n, dtype=object
+            ),
+            ncolor=_object_array(
+                [tuple(c) if c else None for c in (cols.get("ncolor") or [None] * n)]
+            ),
+        )
+
+    @classmethod
+    def from_payload(cls, chars) -> "CharArrays":
+        """Accept either encoding: list of row dicts or columnar dict."""
+        if isinstance(chars, dict):
+            return cls.from_columnar(chars)
+        return cls.from_records(chars or [])
+
     def take(self, idx: np.ndarray) -> "CharArrays":
         return CharArrays(
             self.page[idx], self.text[idx], self.x0[idx], self.y0[idx],

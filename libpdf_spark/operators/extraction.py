@@ -14,14 +14,22 @@ from libpdf_spark.config import ExtractConfig
 from libpdf_spark.operators.common import load
 
 
-def transcripts_from_documents(spark, sf_dir: str, limit: int | None = None):
+def transcripts_from_documents(
+    spark,
+    sf_dir: str,
+    limit: int | None = None,
+    replicate: int = 1,
+    text_repeat: int = 1,
+):
     """documents(doc_id, text, …) → transcripts(conv_id, turn_idx,
     role, text, tool, ts): every document becomes the tool-turn of a
     conversation; conv assignment buckets 16 docs per conversation.
 
-    The payload embedding runs inside ``mapInPandas`` too — the
-    builder is deterministic, so expected extraction output is a
-    function of the input text alone.
+    ``replicate``/``text_repeat`` scale the corpus up for throughput
+    benchmarking (more turns / heavier documents) while staying fully
+    deterministic. The payload embedding runs inside ``mapInPandas``
+    too — expected extraction output is a function of the input text
+    alone.
     """
     from pyspark.sql import functions as F
 
@@ -31,6 +39,22 @@ def transcripts_from_documents(spark, sf_dir: str, limit: int | None = None):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     if limit:
         docs = docs.limit(limit)
+    if text_repeat > 1:
+        docs = docs.select(
+            "doc_id",
+            F.concat_ws(" ", F.array_repeat("text", text_repeat)).alias("text"),
+        )
+    if replicate > 1:
+        docs = (
+            docs.crossJoin(
+                spark.range(replicate).select(F.col("id").alias("replica"))
+            )
+            .select(
+                (F.col("doc_id") * replicate + F.col("replica")).alias("doc_id"),
+                "text",
+            )
+        )
+        docs = docs.repartition(spark.sparkContext.defaultParallelism * 2)
 
     def build(batches):
         import pandas as pd

@@ -12,7 +12,7 @@ the bucket key (shuffle bounded by bucket sizes).
 
 from __future__ import annotations
 
-from libpdf_spark.operators.common import load
+from libpdf_spark.operators.common import load, load_parallel
 
 TOP_K = 5
 N_QUERIES = 3  # vec_id < 3 are the query vectors
@@ -60,7 +60,7 @@ def q_cosine_topk(spark, sf_dir):
     F = _F()
     from pyspark.sql import Window
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _quantize("embedding").alias("qe")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -132,7 +132,7 @@ def q_ann_lsh_buckets(spark, sf_dir):
     Vectors sharing the 8-bit key are ANN candidates — the production
     path joins on this key instead of cross-joining the corpus."""
     F = _F()
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").withColumn(
         "qe", _quantize("embedding")
     )
     bucket = None

@@ -7,7 +7,7 @@ the ``documents`` table (no UDFs in the hot path).
 
 from __future__ import annotations
 
-from libpdf_spark.operators.common import load
+from libpdf_spark.operators.common import load, load_parallel
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
@@ -24,7 +24,7 @@ def q_langid(spark, sf_dir):
     are per-language; the operator shape — tokenize, ratio, argmax —
     is what scales.)"""
     F = _F()
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -58,7 +58,7 @@ def q_quality_score(spark, sf_dir):
     """Document quality features: char/word counts, mean word length,
     punctuation density — the pre-training filter-feature shape."""
     F = _F()
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         "text",
         F.split(F.trim("text"), r"\s+").alias("w"),
@@ -104,7 +104,7 @@ def q_token_count(spark, sf_dir):
     (ceil(len/4) pieces per word) — the cost-estimation shape for
     training-data budgeting."""
     F = _F()
-    docs = load(spark, sf_dir, "documents").select(
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
     )
     n_tokens = F.size("w")
@@ -136,7 +136,7 @@ def q_fingerprint(spark, sf_dir):
     md5 (X6-adjacent identifier sanitation + S7 golden-file shape)."""
     F = _F()
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    return load(spark, sf_dir, "documents").select(
+    return load_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", F.md5(norm).alias("fingerprint")
     )
 

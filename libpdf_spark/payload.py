@@ -45,8 +45,32 @@ EMPTY_DOC: dict[str, Any] = {
 }
 
 
-def encode(doc: dict) -> str:
+def to_columnar_chars(chars: list[dict]) -> dict:
+    """Row-wise char records → columnar encoding.
+
+    The row encoding costs ~120 JSON bytes per char (key repetition);
+    columnar cuts payload size and parse time ~6×, which directly
+    reduces Arrow transfer + memory bandwidth in the hot path. Both
+    encodings are accepted on read (``chars`` as list = rows, as dict
+    = columns).
+    """
+    return {
+        "page": [c["page"] for c in chars],
+        "text": [c["text"] for c in chars],
+        "x0": [c["x0"] for c in chars],
+        "y0": [c["y0"] for c in chars],
+        "x1": [c["x1"] for c in chars],
+        "y1": [c["y1"] for c in chars],
+        "fontname": [c.get("fontname") for c in chars],
+        "ncolor": [list(c["ncolor"]) if c.get("ncolor") else None for c in chars],
+    }
+
+
+def encode(doc: dict, columnar: bool = True) -> str:
     """Compact-serialize a layout document for embedding in a turn."""
+    if columnar and isinstance(doc.get("chars"), list) and doc["chars"]:
+        doc = dict(doc)
+        doc["chars"] = to_columnar_chars(doc["chars"])
     return json.dumps(doc, separators=(",", ":"), sort_keys=True)
 
 

@@ -207,6 +207,15 @@ def configure_session(builder, shuffle_partitions: int = 32, arrow_batch: int = 
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate turns explode(expensive_expr) into a
+        # scan-level filter that re-evaluates the generator expression
+        # per input row BEFORE any repartition — measured 10-60× wall
+        # regression on the shingle/minhash pipeline. Excluding it is
+        # the standard mitigation for expensive generators.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
