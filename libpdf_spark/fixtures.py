@@ -721,7 +721,7 @@ def gen_transcripts(
                     prefix=f"turn {ti} of {conv_id} carries a document: ",
                     suffix=" (end of document)",
                 )
-                rows.append((conv_id, ti, role, body, None, ts))
+                rows.append((conv_id, ti, role, body, "document_reader", ts))
                 exp_text.append(
                     (conv_id, ti, builder.expected_text(smart_crop=smart), fam)
                 )

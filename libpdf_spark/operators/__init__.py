@@ -8,18 +8,28 @@ Both alias every computed column identically — the driver's
 correctness gate hashes values after sorting columns by name.
 """
 
-from libpdf_spark.operators import dedup, extraction, relational, similarity, textops
+from libpdf_spark.operators import (
+    dedup,
+    extraction,
+    multimodal,
+    relational,
+    scalarfn,
+    similarity,
+    textops,
+)
+
+_MODULES = (relational, scalarfn, dedup, similarity, textops, multimodal, extraction)
 
 
 def all_queries():
     out = {}
-    for mod in (relational, dedup, similarity, textops, extraction):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (relational, dedup, similarity, textops, extraction):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

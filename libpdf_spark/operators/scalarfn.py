@@ -1,0 +1,164 @@
+"""Scalar-function operator coverage (SURVEY.md §2.8 X-tier) plus the
+grouping-set/approx aggregations the element table gets for free.
+
+Each X-function the reference implements imperatively is shown here as
+a pure column expression (whole-stage codegen, no UDF), with a DuckDB
+oracle where exactly expressible.
+"""
+
+from __future__ import annotations
+
+from libpdf_spark.operators.common import load
+
+
+def _F():
+    from pyspark.sql import functions as F
+
+    return F
+
+
+# --- X1: page-range parse ("3-5,7" → [3,4,5,7]) ------------------------------
+PAGE_RANGE_LITERAL = "2-4,7,9-10"
+
+
+def q_page_range_expand(spark, sf_dir):
+    """``core.py:536-553`` calculate_pages as sequence+explode."""
+    F = _F()
+    df = spark.createDataFrame([(PAGE_RANGE_LITERAL,)], "spec string")
+    parts = df.select(F.explode(F.split("spec", ",")).alias("part"))
+    lo = F.get(F.split("part", "-"), 0)
+    hi = F.coalesce(F.get(F.split("part", "-"), 1), lo)
+    return (
+        parts.select(
+            F.explode(F.sequence(lo.cast("long"), hi.cast("long"))).alias("page")
+        )
+        .distinct()
+    )
+
+
+SQL_PAGE_RANGE = f"""
+    WITH parts AS (
+      SELECT unnest(string_split('{PAGE_RANGE_LITERAL}', ',')) AS part
+    )
+    SELECT DISTINCT unnest(range(
+        CAST(string_split(part, '-')[1] AS INT),
+        CAST(COALESCE(string_split(part, '-')[2], string_split(part, '-')[1]) AS INT) + 1
+    )) AS page
+    FROM parts
+"""
+
+
+# --- X5: PDF date parse ------------------------------------------------------
+def q_pdf_date_parse(spark, sf_dir):
+    """``extract.py:505-542``: D:YYYYMMDDHHMMSS → timestamp. The PDF
+    date string is synthesized from o_orderdate (deterministic input)
+    and parsed back; round-trip equality is implied by the oracle."""
+    F = _F()
+    orders = load(spark, sf_dir, "orders")
+    pdf_str = F.concat(F.lit("D:"), F.date_format("o_orderdate", "yyyyMMddHHmmss"))
+    return orders.select(
+        "o_orderkey",
+        pdf_str.alias("pdf_date"),
+        F.to_timestamp(F.substring(pdf_str, 3, 14), "yyyyMMddHHmmss").alias(
+            "parsed"
+        ),
+    )
+
+
+SQL_PDF_DATE = """
+    SELECT o_orderkey,
+           'D:' || strftime(o_orderdate, '%Y%m%d%H%M%S') AS pdf_date,
+           strptime(substr('D:' || strftime(o_orderdate, '%Y%m%d%H%M%S'), 3, 14),
+                    '%Y%m%d%H%M%S') AS parsed
+    FROM orders
+"""
+
+
+# --- X6: identifier sanitize -------------------------------------------------
+def q_identifier_sanitize(spark, sf_dir):
+    """``utils.py:109-138``: non-[_a-zA-Z0-9] → '_', digit-prefix →
+    '_'-prefixed — as two regexp_replace column exprs."""
+    F = _F()
+    cust = load(spark, sf_dir, "customer")
+    clean = F.regexp_replace("c_name", "[^_a-zA-Z0-9]", "_")
+    final = F.when(clean.rlike("^[0-9]"), F.concat(F.lit("_"), clean)).otherwise(
+        clean
+    )
+    return cust.select("c_custkey", final.alias("ident"))
+
+
+SQL_IDENT_SANITIZE = """
+    SELECT c_custkey,
+           CASE WHEN regexp_matches(regexp_replace(c_name, '[^_a-zA-Z0-9]', '_', 'g'), '^[0-9]')
+                THEN '_' || regexp_replace(c_name, '[^_a-zA-Z0-9]', '_', 'g')
+                ELSE regexp_replace(c_name, '[^_a-zA-Z0-9]', '_', 'g') END AS ident
+    FROM customer
+"""
+
+
+# --- X9: link-span slicing ---------------------------------------------------
+def q_text_slice(spark, sf_dir):
+    """``models/link.py:59-69`` text[idx_start:idx_stop] as substring
+    exprs (1-based offset conversion)."""
+    F = _F()
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring("text", 6, 15).alias("span"),
+        F.length("text").cast("long").alias("len"),
+    )
+
+
+SQL_TEXT_SLICE = """
+    SELECT doc_id, substr(text, 6, 15) AS span, LENGTH(text) AS len
+    FROM documents
+"""
+
+
+# --- rollup + approx-distinct (SURVEY §2.4: free on the element table) -------
+def q_rollup_counts(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus) — the metrics-table
+    grouping-sets shape."""
+    F = _F()
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_ROLLUP = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct next to the exact count — sketches differ
+    across engines, so the approx column has no oracle (rows-only);
+    the exact column is the cross-check."""
+    F = _F()
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
+QUERIES = {
+    "page_range_expand": q_page_range_expand,
+    "pdf_date_parse": q_pdf_date_parse,
+    "identifier_sanitize": q_identifier_sanitize,
+    "text_slice": q_text_slice,
+    "rollup_counts": q_rollup_counts,
+    "approx_distinct_users": q_approx_distinct_users,
+}
+
+ORACLES = {
+    "page_range_expand": SQL_PAGE_RANGE,
+    "pdf_date_parse": SQL_PDF_DATE,
+    "identifier_sanitize": SQL_IDENT_SANITIZE,
+    "text_slice": SQL_TEXT_SLICE,
+    "rollup_counts": SQL_ROLLUP,
+    # approx_distinct_users: sketch-dependent → rows-only
+}
