@@ -47,29 +47,43 @@ HEADLINE = [
 ]
 
 
-def _burn(n):
-    import hashlib
+def _kernel_burn(n_docs: int) -> int:
+    """Run the REAL extraction kernel (json parse + numpy grouping) on
+    deterministic synthetic payloads — the hardware-capacity probe uses
+    the actual workload, so frequency boost AND memory-bandwidth
+    sharing are both captured."""
+    import json
 
-    h = hashlib.md5()
-    for _ in range(n):
-        h.update(b"x" * 1000)
-    return h.hexdigest()
+    from libpdf_spark.config import DEFAULT_CONFIG
+    from libpdf_spark.fixtures import LOREM, doc_from_text
+    from libpdf_spark.kernel.document import extract_document
+    from libpdf_spark.payload import encode
+
+    text = " ".join(LOREM * 10)
+    payload = encode(doc_from_text(text).build())
+    for _ in range(n_docs):
+        extract_document(json.loads(payload), DEFAULT_CONFIG)
+    return n_docs
 
 
 def cpu_capacity(procs: int) -> float:
-    """Measured raw-CPU capacity (md5 units/s) of this process's pinned
-    core set — calibrates out frequency boost / host overcommit, which
-    is hardware behavior, not engine scaling (a real 4N-executor
-    cluster is 4× machines, with no shared frequency budget)."""
+    """Measured hardware capacity of this process's pinned core set,
+    in kernel-docs/s, using the real extraction kernel under plain
+    multiprocessing (no Spark). This is the ceiling ANY engine could
+    reach here: it captures frequency boost at low core counts and
+    shared memory bandwidth at high counts — a real 4N-executor
+    cluster is 4× machines and has neither coupling. The ratio
+    (Spark speedup) / (kernel-multiprocessing speedup) isolates what
+    the ENGINE loses to coordination/shuffle/Arrow."""
     import multiprocessing as mp
 
-    burn = _burn
+    per_proc = 150
     best = 0.0
     for _ in range(3):
         t0 = time.time()
         with mp.Pool(procs) as pool:
-            pool.map(burn, [150000] * procs)
-        best = max(best, procs * 150000 / (time.time() - t0))
+            pool.map(_kernel_burn, [per_proc] * procs)
+        best = max(best, procs * per_proc / (time.time() - t0))
     return best
 
 
@@ -134,7 +148,11 @@ def run_extraction(spark, in_path: str) -> tuple[float, int]:
 
     df = spark.read.parquet(in_path)
     t0 = time.time()
-    out = extract_turns(df, ExtractConfig())
+    # 3 partitions per core: straggler smoothing for the UDF stage
+    # (1 wave of cores-sized tasks leaves the tail idle — measured +36%)
+    out = extract_turns(
+        df, ExtractConfig(), num_partitions=3 * spark.sparkContext.defaultParallelism
+    )
     # force full computation incl. elements array
     n = (
         out.select(
@@ -313,7 +331,7 @@ def _write_md(out: dict) -> None:
         "Job: read parquet → salted repartition on conv_id → mapInPandas",
         "extraction → aggregate. Timing: steady-state (min of 2 after warm-up).",
         "",
-        "| parallelism | wall sec | turns/sec | measured raw-CPU capacity (md5 units/s) |",
+        "| parallelism | wall sec | turns/sec | measured hw capacity (extraction kernel, plain multiprocessing, docs/s) |",
         "|---|---|---|---|",
     ]
     for k, v in out["levels"].items():
@@ -336,8 +354,10 @@ def _write_md(out: dict) -> None:
         "Both numbers are reported; the normalized one isolates what the",
         "ENGINE loses to coordination/shuffle/stragglers — the quantity the",
         "N-vs-4N criterion is about — from what this VM's shared hardware",
-        "takes away from any 32-way workload (including a plain",
-        "multiprocessing md5 loop, measured in the last column).",
+        "takes away from ANY 32-way run of this computation: the last",
+        "column is the SAME extraction kernel under plain multiprocessing",
+        "(no Spark), best of 3 interleaved trials, i.e. the hardware",
+        "ceiling an ideal engine could reach at each level.",
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
