@@ -208,12 +208,15 @@ def assemble_line_text(
     space_before = gaps > word_margin * widths
     space_before[0] = False
     offsets = np.arange(len(line), dtype=np.int64) + np.cumsum(space_before)
-    pieces = []
-    for i, ci in enumerate(line):
-        if space_before[i]:
-            pieces.append(" ")
-        pieces.append(chars.text[ci])
-    return "".join(pieces), offsets
+    texts = chars.text[line].tolist()
+    if space_before.any():
+        flags = space_before.tolist()
+        text = "".join(
+            " " + t if sp else t for t, sp in zip(texts, flags)
+        )
+    else:
+        text = "".join(texts)
+    return text, offsets
 
 
 def _connected_components(adjacent: np.ndarray) -> np.ndarray:

@@ -1,0 +1,87 @@
+"""Property-based robustness: random well-spaced paragraph layouts must
+extract losslessly; degenerate/hostile payloads must not crash the
+kernel (they surface as parse failures in the pipeline)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from libpdf_spark.config import DEFAULT_CONFIG, ExtractConfig
+from libpdf_spark.fixtures import CHAR_W, LINE_PITCH, DocBuilder
+from libpdf_spark.kernel.document import extract_document
+from libpdf_spark.payload import EMPTY_DOC
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+
+@st.composite
+def layouts(draw):
+    n_paras = draw(st.integers(1, 6))
+    paras = []
+    y = 740.0
+    for _ in range(n_paras):
+        n_lines = draw(st.integers(1, 3))
+        lines = []
+        for _ in range(n_lines):
+            n_words = draw(st.integers(1, 5))
+            lines.append(
+                " ".join(
+                    WORDS[draw(st.integers(0, len(WORDS) - 1))]
+                    for _ in range(n_words)
+                )
+            )
+        x0 = draw(st.sampled_from([50.0, 72.0, 90.0]))
+        paras.append((x0, y, lines))
+        y -= n_lines * LINE_PITCH + draw(st.sampled_from([26.0, 30.0, 40.0]))
+        if y < 80:
+            break
+    return paras
+
+
+@given(layouts())
+@settings(max_examples=60, deadline=None)
+def test_random_paragraph_layouts_roundtrip(paras):
+    b = DocBuilder(n_pages=1)
+    for x0, y, lines in paras:
+        b.add_paragraph(1, x0, y, lines)
+    result = extract_document(b.build(), DEFAULT_CONFIG)
+    assert result.extracted_text == b.expected_text()
+    got = [e.uid for e in result.elements]
+    exp = [r["uid"] for r in b.expected_elements()]
+    assert got == exp
+
+
+@pytest.mark.parametrize(
+    "mutation",
+    [
+        {},  # empty doc
+        {"pages": []},
+        {"pages": [{"number": 1, "width": 612, "height": 792}], "chars": []},
+        {"pages": [{"number": 1, "width": 612, "height": 792}],
+         "chars": {"page": [1], "text": ["a"], "x0": [10.0], "y0": [10.0],
+                   "x1": [16.0], "y1": [20.0], "fontname": [None], "ncolor": [None]}},
+        # single char, no outline/figures
+        {"pages": [{"number": 3, "width": 100, "height": 100}],
+         "chars": [{"page": 1, "text": "x", "x0": 0, "y0": 0, "x1": 5, "y1": 5}]},
+        # chars on a page that doesn't exist → filtered out
+    ],
+)
+def test_degenerate_docs_do_not_crash(mutation):
+    doc = dict(EMPTY_DOC)
+    doc.update(mutation)
+    result = extract_document(doc, ExtractConfig())
+    assert result.extracted_text is not None
+    assert isinstance(result.elements, list)
+
+
+def test_hostile_types_raise_cleanly():
+    """Wrong types must raise (caught per-turn by the pipeline), never
+    hang or corrupt."""
+    doc = dict(EMPTY_DOC)
+    doc["pages"] = [{"number": 1, "width": "wide", "height": 792}]
+    with pytest.raises((ValueError, TypeError)):
+        extract_document(doc, ExtractConfig())

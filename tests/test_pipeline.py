@@ -96,6 +96,28 @@ def test_corrupt_payload_is_isolated(spark):
     assert bool(out.loc[1, "doc_found"]) is False
 
 
+def test_payload_in_tool_column(spark):
+    """A document embedded in the `tool` field (not `text`) extracts
+    identically — the pipeline probes text first, then tool."""
+    from libpdf_spark.fixtures import FAMILIES
+    from libpdf_spark.payload import embed
+
+    b = FAMILIES["plain_paragraphs"]()
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["t1"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["tool"],
+            "text": ["tool call result follows"],
+            "tool": [embed(b.build(), prefix="payload: ")],
+            "ts": pd.to_datetime(["2026-01-01"]),
+        }
+    )
+    out = extract_turns(spark.createDataFrame(pdf), ExtractConfig()).toPandas()
+    assert bool(out.loc[0, "parse_ok"])
+    assert out.loc[0, "extracted_text"] == b.expected_text()
+
+
 def test_metrics_aggregation(spark, corpus):
     transcripts, expected_text, _ = corpus
     df = spark.createDataFrame(transcripts)
