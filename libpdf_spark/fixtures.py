@@ -647,6 +647,16 @@ def family_full_features(seed: int = 0) -> DocBuilder:
 # transcript corpus generation (input_hint shape)
 # --------------------------------------------------------------------------
 
+# families expressible in the mini-PDF byte-stream subset
+# (text + ruled lines + colored rects; see pdfmini.py)
+PDF_CAPABLE_FAMILIES = {
+    "plain_paragraphs",
+    "multi_column",
+    "ruled_tables",
+    "merged_cells",
+    "rects_code",
+}
+
 
 def doc_from_text(text: str, per_line: int = 8, lines_per_para: int = 4) -> DocBuilder:
     """Wrap arbitrary text into a single-column layout document.
@@ -716,11 +726,22 @@ def gen_transcripts(
                 # (smart_page_crop off, like the reference CLI default);
                 # smart-crop behavior is covered by the kernel tests
                 smart = False
-                body = embed(
-                    builder.build(),
-                    prefix=f"turn {ti} of {conv_id} carries a document: ",
-                    suffix=" (end of document)",
-                )
+                doc = builder.build()
+                if fam in PDF_CAPABLE_FAMILIES and (ci + ti) % 2 == 0:
+                    # real PDF byte-stream embedding (same ground truth)
+                    from libpdf_spark.payload import embed_pdf
+                    from libpdf_spark.pdfmini import write_pdf
+
+                    body = embed_pdf(
+                        write_pdf(doc),
+                        prefix=f"turn {ti} of {conv_id} attaches a pdf: ",
+                    )
+                else:
+                    body = embed(
+                        doc,
+                        prefix=f"turn {ti} of {conv_id} carries a document: ",
+                        suffix=" (end of document)",
+                    )
                 rows.append((conv_id, ti, role, body, "document_reader", ts))
                 exp_text.append(
                     (conv_id, ti, builder.expected_text(smart_crop=smart), fam)

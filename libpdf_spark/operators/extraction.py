@@ -84,7 +84,17 @@ def transcripts_from_documents(
 
 
 def q_extract_documents(spark, sf_dir):
-    """Flagship: full extraction over document-bearing turns."""
+    """Flagship: full extraction over document-bearing turns.
+
+    Has a FULL DuckDB value oracle: ``doc_from_text`` is a
+    deterministic layout (8 words/line, 4 lines/paragraph, 5
+    paragraphs/page), so the expected extraction output is
+    reconstructible in pure SQL — the oracle re-derives per-turn
+    extracted text (and its md5) from ``documents.text`` alone and the
+    driver hash-compares it against what the real mapInPandas kernel
+    produced. This is the per-turn text-equality gate expressed as a
+    relational oracle.
+    """
     from pyspark.sql import functions as F
 
     from libpdf_spark.pipeline import extract_turns
@@ -97,14 +107,54 @@ def q_extract_documents(spark, sf_dir):
         "parse_ok",
         "n_elements",
         "n_pages",
-        F.length("extracted_text").alias("text_len"),
+        F.length("extracted_text").cast("long").alias("text_len"),
         F.md5("extracted_text").alias("text_md5"),
     )
 
 
+# SQL model of doc_from_text (fixtures.py): words → 8-word lines →
+# 4-line paragraphs (joined "\n") → extracted_text (joined "\n\n"),
+# pages of 5 paragraphs.
+_SQL_DOC_RECONSTRUCT = r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) = 1
+                       AND regexp_split_to_array(trim(text), '\s+')[1] = ''
+                  THEN ['empty']
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+      FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             [array_to_string(words[i : least(i + 7, len(words))], ' ')
+              for i in range(1, len(words) + 1, 8)] AS ls
+      FROM w
+    ), paras AS (
+      SELECT doc_id,
+             [array_to_string(ls[j : least(j + 3, len(ls))], chr(10))
+              for j in range(1, len(ls) + 1, 4)] AS ps
+      FROM lines
+    )
+"""
+
+SQL_EXTRACT_DOCUMENTS = (
+    _SQL_DOC_RECONSTRUCT
+    + """
+    SELECT printf('doc-conv-%06d', doc_id // 16) AS conv_id,
+           CAST(doc_id % 16 AS INT) AS turn_idx,
+           TRUE AS parse_ok,
+           CAST(len(ps) AS INT) AS n_elements,
+           CAST(CAST(ceil(len(ps) / 5.0) AS INT) AS INT) AS n_pages,
+           LENGTH(array_to_string(ps, chr(10) || chr(10))) AS text_len,
+           md5(array_to_string(ps, chr(10) || chr(10))) AS text_md5
+    FROM paras
+"""
+)
+
+
 def q_extract_element_stats(spark, sf_dir):
     """Element-kind histogram across the extracted corpus — explode
-    the nested element array and hash-aggregate."""
+    the nested element array and hash-aggregate. Oracled against the
+    SQL reconstruction of per-paragraph texts."""
     from pyspark.sql import functions as F
 
     from libpdf_spark.pipeline import extract_turns
@@ -121,10 +171,24 @@ def q_extract_element_stats(spark, sf_dir):
     )
 
 
+SQL_EXTRACT_ELEMENT_STATS = (
+    _SQL_DOC_RECONSTRUCT
+    + """
+    , per_para AS (SELECT doc_id, unnest(ps) AS para FROM paras)
+    SELECT 'paragraph' AS kind,
+           COUNT(*) AS n,
+           ROUND(AVG(LENGTH(para)), 4) AS avg_text_len
+    FROM per_para
+"""
+)
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_element_stats": q_extract_element_stats,
 }
 
-# non-SQL-expressible: the kernel IS the operator; rows-only checks
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "extract_documents": SQL_EXTRACT_DOCUMENTS,
+    "extract_element_stats": SQL_EXTRACT_ELEMENT_STATS,
+}

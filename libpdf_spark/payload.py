@@ -31,6 +31,8 @@ from typing import Any
 
 DOC_OPEN = "<<<LIBPDF_DOC>>>"
 DOC_CLOSE = "<<<END_LIBPDF_DOC>>>"
+PDF_OPEN = "<<<LIBPDF_PDF_B64>>>"
+PDF_CLOSE = "<<<END_LIBPDF_PDF_B64>>>"
 
 EMPTY_DOC: dict[str, Any] = {
     "meta": {},
@@ -79,25 +81,50 @@ def embed(doc: dict, prefix: str = "", suffix: str = "") -> str:
     return f"{prefix}{DOC_OPEN}{encode(doc)}{DOC_CLOSE}{suffix}"
 
 
+def embed_pdf(pdf_bytes: bytes, prefix: str = "", suffix: str = "") -> str:
+    """Wrap real PDF byte-stream content (base64) inside a turn."""
+    import base64
+
+    b64 = base64.b64encode(pdf_bytes).decode("ascii")
+    return f"{prefix}{PDF_OPEN}{b64}{PDF_CLOSE}{suffix}"
+
+
 def find_payload(text: str | None) -> dict | None:
     """Extract + parse the embedded document from a turn field.
 
-    Returns ``None`` when the field carries no document. Raises
-    ``ValueError`` on a corrupt envelope (counted as a parse failure
-    in the metrics table, never a job abort).
+    Two embeddings are recognized: the JSON layout-markup envelope and
+    a base64 PDF byte-stream (parsed by :mod:`libpdf_spark.pdfmini`
+    into the same payload dict — one kernel for both). Returns
+    ``None`` when the field carries no document. Raises ``ValueError``
+    on a corrupt envelope (counted as a parse failure in the metrics
+    table, never a job abort).
     """
     if not text:
         return None
     start = text.find(DOC_OPEN)
-    if start < 0:
-        return None
-    stop = text.find(DOC_CLOSE, start)
-    if stop < 0:
-        raise ValueError("unterminated layout payload")
-    body = text[start + len(DOC_OPEN) : stop]
-    doc = json.loads(body)
-    if not isinstance(doc, dict):
-        raise ValueError("layout payload is not an object")
-    out = dict(EMPTY_DOC)
-    out.update(doc)
-    return out
+    if start >= 0:
+        stop = text.find(DOC_CLOSE, start)
+        if stop < 0:
+            raise ValueError("unterminated layout payload")
+        body = text[start + len(DOC_OPEN) : stop]
+        doc = json.loads(body)
+        if not isinstance(doc, dict):
+            raise ValueError("layout payload is not an object")
+        out = dict(EMPTY_DOC)
+        out.update(doc)
+        return out
+    start = text.find(PDF_OPEN)
+    if start >= 0:
+        import base64
+
+        from libpdf_spark import pdfmini
+
+        stop = text.find(PDF_CLOSE, start)
+        if stop < 0:
+            raise ValueError("unterminated PDF payload")
+        try:
+            raw = base64.b64decode(text[start + len(PDF_OPEN) : stop])
+        except Exception as exc:  # noqa: BLE001 — normalized to ValueError
+            raise ValueError(f"bad base64 PDF payload: {exc}") from exc
+        return pdfmini.parse_pdf(raw)
+    return None
