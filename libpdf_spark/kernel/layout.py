@@ -209,13 +209,21 @@ def assemble_line_text(
     space_before[0] = False
     offsets = np.arange(len(line), dtype=np.int64) + np.cumsum(space_before)
     texts = chars.text[line].tolist()
-    if space_before.any():
-        flags = space_before.tolist()
-        text = "".join(
-            " " + t if sp else t for t, sp in zip(texts, flags)
-        )
-    else:
-        text = "".join(texts)
+    joined = "".join(texts)
+    if not space_before.any():
+        return joined, offsets
+    if len(joined) == len(texts):  # all 1-char glyphs: slice per WORD
+        bounds = np.flatnonzero(space_before).tolist()
+        segs = []
+        prev = 0
+        for b in bounds:
+            segs.append(joined[prev:b])
+            prev = b
+        segs.append(joined[prev:])
+        return " ".join(segs), offsets
+    # rare multi-char glyphs (ligatures): per-char fallback
+    flags = space_before.tolist()
+    text = "".join(" " + t if sp else t for t, sp in zip(texts, flags))
     return text, offsets
 
 
@@ -248,11 +256,13 @@ def group_boxes(
     numpy O(L²) broadcast (L = lines/page, small) and take connected
     components.
 
-    Returns lists of line indices per box (unordered).
+    Returns ``(groups, line_hulls)``: lists of line indices per box
+    (unordered) and the per-line hulls (lx0, ly0, lx1, ly1) so callers
+    don't recompute them per char.
     """
     L = len(lines)
     if L == 0:
-        return []
+        return [], None
     lx0 = np.array([chars.x0[l].min() for l in lines])
     lx1 = np.array([chars.x1[l].max() for l in lines])
     ly0 = np.array([chars.y0[l].min() for l in lines])
@@ -269,7 +279,7 @@ def group_boxes(
     boxes: dict[int, list[int]] = {}
     for i, lab in enumerate(labels):
         boxes.setdefault(int(lab), []).append(i)
-    return list(boxes.values())
+    return list(boxes.values()), (lx0, ly0, lx1, ly1)
 
 
 def order_boxes_reading(boxes_meta: list[tuple[float, float, float, float]]) -> list[int]:
@@ -316,15 +326,14 @@ def build_boxes(
     med_h = float(np.median(heights)) if len(heights) else 10.0
     y_tol = max(cfg.line_overlap * med_h, 1e-9)
     lines = group_lines(chars, y_tol, char_margin=cfg.char_margin)
-    line_groups = group_boxes(chars, lines, cfg.line_margin)
+    line_groups, hulls = group_boxes(chars, lines, cfg.line_margin)
+    lx0, ly0, lx1, ly1 = hulls if hulls else (None, None, None, None)
 
     boxes: list[Box] = []
     metas: list[tuple[float, float, float, float]] = []
     for group in line_groups:
         # order lines inside the box top-to-bottom
-        group_sorted = sorted(
-            group, key=lambda li: -float(chars.y1[lines[li]].max())
-        )
+        group_sorted = sorted(group, key=lambda li: -ly1[li])
         text_parts: list[str] = []
         all_idx: list[np.ndarray] = []
         all_off: list[np.ndarray] = []
@@ -346,10 +355,10 @@ def build_boxes(
         idx = np.concatenate(all_idx)
         off = np.concatenate(all_off)
         member_chars = np.concatenate([lines[li] for li in group_sorted])
-        x0 = float(chars.x0[member_chars].min())
-        y0 = float(chars.y0[member_chars].min())
-        x1 = float(chars.x1[member_chars].max())
-        y1 = float(chars.y1[member_chars].max())
+        x0 = float(min(lx0[li] for li in group))
+        y0 = float(min(ly0[li] for li in group))
+        x1 = float(max(lx1[li] for li in group))
+        y1 = float(max(ly1[li] for li in group))
         boxes.append(
             Box(
                 page=int(chars.page[0]),
