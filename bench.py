@@ -184,9 +184,80 @@ def bench_queries(spark) -> dict[str, float]:
     return times
 
 
+def bench_skew(spark) -> dict:
+    """Evidence for the salted repartition (north_star): ONE hot
+    conversation holding every document-bearing turn. Unsalted
+    repartition on conv_id lands the whole conversation on one task;
+    the salt spreads it across the cluster."""
+    from pyspark.sql import functions as F
+
+    from libpdf_spark.config import ExtractConfig
+    from libpdf_spark.operators.extraction import transcripts_from_documents
+    from libpdf_spark.pipeline import make_extract_batch, EXTRACT_SCHEMA
+
+    hot = (
+        transcripts_from_documents(spark, SF_DIR, replicate=2, text_repeat=2)
+        .withColumn("conv_id", F.lit("hot-conversation"))
+        .withColumn(
+            "turn_idx",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    F.monotonically_increasing_id()
+                )
+            ).cast("int"),
+        )
+    )
+    path = os.path.join(WORK, "skew_corpus")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        hot.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).select("conv_id", "turn_idx", "text", "tool")
+    n = df.count()
+    cfg = ExtractConfig()
+    parallelism = spark.sparkContext.defaultParallelism
+
+    def timed(partitioned):
+        out = partitioned.mapInPandas(make_extract_batch(cfg), schema=EXTRACT_SCHEMA)
+        t0 = time.time()
+        out.select(F.count("*"), F.sum("n_elements")).collect()
+        return round(time.time() - t0, 2)
+
+    # warm-up on the salted path
+    from libpdf_spark.pipeline import salted_repartition
+
+    timed(salted_repartition(df, cfg, parallelism))
+    naive_sec = timed(df.repartition(parallelism, F.col("conv_id")))
+    salted_sec = timed(salted_repartition(df, cfg, parallelism))
+    return {
+        "metric": "skew_speedup_salted_vs_naive",
+        "value": round(naive_sec / salted_sec, 2),
+        "unit": "ratio",
+        "turns": n,
+        "naive_conv_id_partitioning_sec": naive_sec,
+        "salted_sec": salted_sec,
+    }
+
+
 def main():
     scaling = "--scaling" in sys.argv
     write_md = "--write-md" in sys.argv
+
+    if "--skew" in sys.argv:
+        os.makedirs(WORK, exist_ok=True)
+        spark = make_session(CPUS)
+        out = bench_skew(spark)
+        print(json.dumps(out))
+        if write_md:
+            with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+                f.write(
+                    "\n## Skew evidence (salted repartition, north_star)\n\n"
+                    f"One hot conversation carrying all {out['turns']} document turns:\n"
+                    f"naive `repartition(conv_id)` = {out['naive_conv_id_partitioning_sec']} s "
+                    f"(whole conversation on ONE task) vs salted "
+                    f"`repartition(concat(conv_id, '#', pmod(hash(turn_idx), salt)))` = "
+                    f"{out['salted_sec']} s — **{out['value']}× speedup** at local[{CPUS}].\n"
+                )
+        spark.stop()
+        return
     os.makedirs(WORK, exist_ok=True)
     in_path = os.path.join(WORK, "transcripts")
 

@@ -29,6 +29,13 @@ from __future__ import annotations
 import json
 from typing import Any
 
+try:  # orjson is ~5× faster on the hot decode path; stdlib fallback
+    import orjson
+
+    _loads = orjson.loads
+except ImportError:  # pragma: no cover
+    _loads = json.loads
+
 DOC_OPEN = "<<<LIBPDF_DOC>>>"
 DOC_CLOSE = "<<<END_LIBPDF_DOC>>>"
 PDF_OPEN = "<<<LIBPDF_PDF_B64>>>"
@@ -107,7 +114,7 @@ def find_payload(text: str | None) -> dict | None:
         if stop < 0:
             raise ValueError("unterminated layout payload")
         body = text[start + len(DOC_OPEN) : stop]
-        doc = json.loads(body)
+        doc = _loads(body)
         if not isinstance(doc, dict):
             raise ValueError("layout payload is not an object")
         out = dict(EMPTY_DOC)
