@@ -510,6 +510,44 @@ def family_virtual_chapters(seed: int = 0) -> DocBuilder:
     return b
 
 
+def family_split_heading(seed: int = 0) -> DocBuilder:
+    """DS93 parity: the chapter number and title live in TWO separate
+    textboxes (referee case ``textbox.py:492-508``), and a chapter
+    whose window only holds dissimilar text falls back to a ghost.
+    Mirrors ``tests/test_ds93_chapter.py:7-26`` ('3.5.4', '9.')."""
+    b = DocBuilder(n_pages=2, title="split-heading")
+    # page 1: "3.5.4" box and "Results" box, >char_margin apart so the
+    # layout pass keeps them separate; outline carries "3.5.4 Results"
+    b.outline.append(
+        {"title": "3.5.4 Results", "level": 1,
+         "dest": {"page": 1, "x": 72.0, "y": 740.0}}
+    )
+    nb = b._render_lines(1, 72.0, 740.0, ["3.5.4"])
+    tb = b._render_lines(1, 160.0, 740.0, ["Results"])
+    item = _Item(
+        "chapter", 1,
+        min(nb[0], tb[0]), min(nb[1], tb[1]),
+        max(nb[2], tb[2]), max(nb[3], tb[3]),
+        text="3.5.4\nResults", number="3.5.4", outline_level=1,
+    )
+    b.items.append(item)
+    b.add_paragraph(1, 72.0, 700.0, _wrap(LOREM, 4, 2, 0))
+    # page 2: outline "9. Conclusion" but the only nearby box is
+    # dissimilar → ghost chapter; the box stays a paragraph
+    b.outline.append(
+        {"title": "9. Conclusion", "level": 1,
+         "dest": {"page": 2, "x": 72.0, "y": 700.0}}
+    )
+    ghost = _Item(
+        "chapter", 2,
+        72.0, 700.0 - 20.0, 72.0 + 20.0, 700.0,
+        text="", number="9.", outline_level=1,
+    )
+    b.items.append(ghost)
+    b.add_paragraph(2, 72.0, 660.0, ["totally unrelated body text"])
+    return b
+
+
 def family_ghost_chapter(seed: int = 0) -> DocBuilder:
     b = DocBuilder(n_pages=1, title="ghost-chapter")
     b.add_chapter(1, 72.0, 740.0, "Visible", number="1", level=1)
@@ -786,6 +824,7 @@ FAMILIES = {
     "nested_chapters": family_nested_chapters,
     "virtual_chapters": family_virtual_chapters,
     "ghost_chapter": family_ghost_chapter,
+    "split_heading": family_split_heading,
     "ruled_tables": family_ruled_tables,
     "merged_cells": family_merged_cells,
     "figures_filtering": family_figures_filtering,
