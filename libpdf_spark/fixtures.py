@@ -669,10 +669,21 @@ def family_full_features(seed: int = 0) -> DocBuilder:
     b.add_chapter(1, 72.0, 480.0, "Detail", number="2.1", level=2)
     b.add_paragraph(1, 72.0, 440.0, _wrap(LOREM, 4, 1, 8))
     b.add_chapter(2, 72.0, 740.0, "Tables", number="3", level=1)
-    b.add_table(
+    tbl = b.add_table(
         2, 72.0, 700.0,
         [["h1", "h2"], ["v1", "v2"]],
     )
+    # link inside cell row2/col1 ("v1") → chapter 1 (tables.py:177-187)
+    cell_bbox = next(bb for (r, c, bb, _) in tbl.cells if (r, c) == (2, 1))
+    cx, cy_top = cell_bbox[0] + 7, cell_bbox[3] - 7
+    b.annos.append(
+        {
+            "page": 2,
+            "rect": [cx - 1, cy_top - CHAR_H - 1, cx + 2 * CHAR_W + 1, cy_top + 1],
+            "dest": {"page": 1, "x": 72.0, "y": 740.0},
+        }
+    )
+    tbl.cell_links = {(2, 1): [(0, 2, "chapter.1")]}  # type: ignore[attr-defined]
     b.add_figure(2, (72.0, 300.0, 400.0, 500.0), caption_lines=["figure caption"])
     b.add_chapter(3, 72.0, 740.0, "Extras", level=1)  # virt number
     b.add_rect(3, (72.0, 600.0, 400.0, 660.0), text_lines=["rect content"])

@@ -210,6 +210,34 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
 
     # --- elements in document order (O1: page, top-down) ---
     elements: list[DocElement] = []
+    # merge order matches the reference for stable-sort tie parity:
+    # figures, tables, paragraphs, chapters, rects (extract.py:190-192)
+    for f in figures:
+        elements.append(
+            DocElement(
+                kind="figure", page=f.page,
+                x0=f.x0, y0=f.y0, x1=f.x1, y1=f.y1, text=f.text,
+            )
+        )
+    for t in tables:
+        elements.append(
+            DocElement(
+                kind="table", page=t.page,
+                x0=t.x0, y0=t.y0, x1=t.x1, y1=t.y1,
+            )
+        )
+        elements[-1]._table = t  # type: ignore[attr-defined]
+    if not cfg.no_paragraphs:
+        for pno in page_numbers:
+            for b in page_boxes[pno]:
+                elements.append(
+                    DocElement(
+                        kind="paragraph", page=pno,
+                        x0=b.x0, y0=b.y0, x1=b.x1, y1=b.y1,
+                        text=b.text, fontname=b.fontname, ncolor=b.ncolor,
+                        box=b,
+                    )
+                )
     for ch in chapters:
         elements.append(
             DocElement(
@@ -222,32 +250,6 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
         )
         elements[-1].title = ch.title  # type: ignore[attr-defined]
         elements[-1]._chapter_boxes = ch.boxes  # type: ignore[attr-defined]
-    if not cfg.no_paragraphs:
-        for pno in page_numbers:
-            for b in page_boxes[pno]:
-                elements.append(
-                    DocElement(
-                        kind="paragraph", page=pno,
-                        x0=b.x0, y0=b.y0, x1=b.x1, y1=b.y1,
-                        text=b.text, fontname=b.fontname, ncolor=b.ncolor,
-                        box=b,
-                    )
-                )
-    for t in tables:
-        elements.append(
-            DocElement(
-                kind="table", page=t.page,
-                x0=t.x0, y0=t.y0, x1=t.x1, y1=t.y1,
-            )
-        )
-        elements[-1]._table = t  # type: ignore[attr-defined]
-    for f in figures:
-        elements.append(
-            DocElement(
-                kind="figure", page=f.page,
-                x0=f.x0, y0=f.y0, x1=f.x1, y1=f.y1, text=f.text,
-            )
-        )
     for r in rects:
         elements.append(
             DocElement(
@@ -257,7 +259,9 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
             )
         )
 
-    # reading-order sort: (page, page_height - y0) — process.py:202-207
+    # reading-order sort: (page, page_height - y0) — process.py:202-207;
+    # Python's stable sort preserves the merge order on exact y0 ties,
+    # like the reference's list.sort
     elements.sort(key=lambda e: (e.page, page_h.get(e.page, 0.0) - e.y0))
 
     # --- chapter nesting + per-scope renumbering (A5) + uids (X10) ---

@@ -85,6 +85,18 @@ def test_links_family_targets():
             assert el.text[s:e_].strip() != ""
 
 
+def test_cell_links():
+    """Links inside table cells resolve to element uids
+    (``tables.py:177-187`` cell link extraction)."""
+    _, result = _run("full_features")
+    cell = next(
+        e for e in result.elements if e.kind == "cell" and e.row == 2 and e.col == 1
+    )
+    got = [(l.idx_start, l.idx_stop, l.target) for l in cell.links]
+    assert got == [(0, 2, "chapter.1")]
+    assert cell.text[0:2] == "v1"
+
+
 def test_word_colors_uniform_lift():
     _, result = _run("word_colors")
     paras = [e for e in result.elements if e.kind == "paragraph"]
