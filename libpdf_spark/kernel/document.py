@@ -147,12 +147,21 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
         if not keep.all():
             chars = chars.take(np.where(keep)[0])
 
+    # Smart header/footer crop (A4) runs per element kind immediately
+    # after that kind's extraction, exactly like the reference's ×4
+    # call sites (extract.py:153,163,175,188) — in particular, figures/
+    # tables are cropped BEFORE the F7 textbox filter consults them,
+    # and paragraphs are cropped only AFTER chapter matching consumed
+    # its boxes (chapter headings are immune to the crop).
+
     # --- figures (F4, F5) ---
     figures: list[Figure] = []
     if not cfg.no_figures:
         figures = filter_figures(
             [f for f in doc.get("figures", []) if int(f["page"]) in page_dims], cfg
         )
+        if cfg.smart_page_crop:
+            figures = _apply_smart_crop_objs(figures, n_pages, page_h, cfg)
 
     # --- rects (J4) ---
     rects: list[Rect] = []
@@ -162,6 +171,8 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
             chars,
             cfg,
         )
+        if cfg.smart_page_crop:
+            rects = _apply_smart_crop_objs(rects, n_pages, page_h, cfg)
 
     # --- ruled tables (grid + F6 + J5) ---
     tables: list[Table] = []
@@ -170,6 +181,8 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
             tables.extend(detect_tables(doc.get("lines", []), pno, cfg))
         tables = drop_tables_in_figures(tables, figures, cfg.table_figure_margin)
         fill_cell_text(tables, chars, cfg)
+        if cfg.smart_page_crop:
+            tables = _apply_smart_crop_objs(tables, n_pages, page_h, cfg)
 
     # --- page textboxes (S1/F1/F3 + grouping) ---
     page_boxes: dict[int, list[Box]] = {}
@@ -189,11 +202,15 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
             page_boxes[pno], element_bboxes, cfg.table_margin
         )
 
-    # --- smart header/footer crop (A4), per kind like extract.py ×4 ---
+    # --- chapters (S6/X2/X3 + J6) — consumes matched boxes ---
+    chapters: list[Chapter] = []
+    if not cfg.no_chapters:
+        roots = build_outline(doc.get("outline", []), cfg)
+        chapters = render_chapters(roots, page_boxes, page_dims, cfg)
+
+    # --- smart crop of the remaining (paragraph) boxes — AFTER the
+    # chapter matching, so headings can't be eaten by the crop ---
     if cfg.smart_page_crop:
-        figures = _apply_smart_crop_objs(figures, n_pages, page_h, cfg)
-        rects = _apply_smart_crop_objs(rects, n_pages, page_h, cfg)
-        tables = _apply_smart_crop_objs(tables, n_pages, page_h, cfg)
         flat_boxes = [b for pno in page_numbers for b in page_boxes[pno]]
         kept = set(
             id(b)
@@ -201,12 +218,6 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
         )
         for pno in page_numbers:
             page_boxes[pno] = [b for b in page_boxes[pno] if id(b) in kept]
-
-    # --- chapters (S6/X2/X3 + J6) — consumes matched boxes ---
-    chapters: list[Chapter] = []
-    if not cfg.no_chapters:
-        roots = build_outline(doc.get("outline", []), cfg)
-        chapters = render_chapters(roots, page_boxes, page_dims, cfg)
 
     # --- elements in document order (O1: page, top-down) ---
     elements: list[DocElement] = []

@@ -39,6 +39,29 @@ def test_element_kind_pruning():
     assert all(not e.links for e in no_links.elements)
 
 
+def test_chapter_heading_immune_to_smart_crop():
+    """Reference ordering (extract.py:177-188): chapter matching runs
+    BEFORE the paragraph smart crop, so a heading that geometrically
+    looks like a repeated header still becomes a chapter on its dest
+    page, while its clones on other pages are cropped away."""
+    from libpdf_spark.fixtures import DocBuilder, LINE_PITCH
+
+    b = DocBuilder(n_pages=4)
+    b.outline.append(
+        {"title": "1 Summary", "level": 1, "dest": {"page": 1, "x": 72.0, "y": 780.0}}
+    )
+    for page in range(1, 5):
+        b._render_lines(page, 72.0, 780.0, ["1 Summary"])  # header-zone clone
+        b.add_paragraph(page, 72.0, 600.0 - page * 9.0, [f"body text page {page}"])
+    r = extract_document(b.build(), ExtractConfig(smart_page_crop=True))
+    chapters = [e for e in r.elements if e.kind == "chapter"]
+    paras = [e for e in r.elements if e.kind == "paragraph"]
+    assert len(chapters) == 1 and chapters[0].page == 1
+    assert chapters[0].number == "1"
+    # the page-2..4 clones were cropped as headers; bodies survive
+    assert [p.text for p in paras] == [f"body text page {p}" for p in range(1, 5)]
+
+
 def test_parse_pdf_date():
     assert parse_pdf_date("D:20110120163651-05'00'") == "2011-01-20T16:36:51-05:00"
     assert parse_pdf_date("D:20110120163651Z") == "2011-01-20T16:36:51+00:00"
