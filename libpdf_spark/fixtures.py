@@ -646,7 +646,7 @@ def family_links(seed: int = 0) -> DocBuilder:
     # unresolvable target → page.N/X:Y form
     p2 = b.add_paragraph(2, 72.0, 700.0, ["dangling pointer text"])
     s3, e3 = b.add_link(p2, 0, (0, 1), dest={"page": 2, "x": 9.0, "y": 9.0})
-    p2.links.append((s3, e3, "page.2/9:9"))
+    p2.links.append((s3, e3, "page.2/9.0:9.0"))
     return b
 
 

@@ -39,14 +39,12 @@ class Link:
         if self.target_uid:
             return self.target_uid
         if self.page is not None:
-            return f"page.{self.page}/{_fmt(self.x)}:{_fmt(self.y)}"
-        return None
-
-
-def _fmt(v: float | None) -> str:
-    if v is None:
-        return "0"
-    return f"{v:g}"
+            # unresolvable target → raw page coordinate string, format
+            # per the reference (process.py:519-522): str() of the
+            # stored values, page id as "page.<number>"
+            return f"page.{self.page}/{self.x}:{self.y}"
+        # no target page at all (process.py:535)
+        return "Out Of extracted pages scope"
 
 
 def resolve_anno_dest(anno: dict, dests: dict) -> tuple | None:
