@@ -129,23 +129,39 @@ def scan_box_links(
     return links
 
 
+# Position-creation order in the reference (extract.py: figures →
+# rects → tables → chapters → paragraphs); cells are excluded from the
+# target search (their Position has no b_element, process.py:548-550)
+_TARGET_KIND_ORDER = {"figure": 0, "rect": 1, "table": 2, "chapter": 3, "paragraph": 4}
+
+
 def resolve_target_uid(
     links: list[Link],
     elements: list,  # DocElements in document order, each with .page/.bbox/.uid
     cfg: ExtractConfig,
 ) -> None:
     """J8: map each link's (page, x, y) to the uid of the first
-    element (document order) whose bbox, expanded 65 pt leftwards and
-    upwards, contains the point (``process.py:397-536``,
-    ``models/position.py:102-120``). Mutates ``links``."""
+    element whose bbox, expanded 65 pt leftwards and upwards, contains
+    the point — ``x1 > x >= x0-TOL and y1+TOL > y >= y0``
+    (``models/position.py:102-118``), candidates visited in the
+    reference's Position-creation order (``process.py:397-553``).
+    Mutates ``links``."""
     tol = cfg.target_coor_tolerance
+    candidates = sorted(
+        (
+            (i, el)
+            for i, el in enumerate(elements)
+            if el.kind in _TARGET_KIND_ORDER
+        ),
+        key=lambda t: (_TARGET_KIND_ORDER[t[1].kind], t[0]),
+    )
     for link in links:
         if link.page is None:
             continue
-        for el in elements:
+        for _, el in candidates:
             if el.page != link.page:
                 continue
             x0, y0, x1, y1 = el.bbox
-            if (x0 - tol) <= link.x <= x1 and y0 <= link.y <= (y1 + tol):
+            if x1 > link.x >= (x0 - tol) and (y1 + tol) > link.y >= y0:
                 link.target_uid = el.uid
                 break
