@@ -37,12 +37,18 @@ QUANT = 1_000_000  # 1e-6 embedding quantization grid
 
 
 def _quantize(col):
-    """double[] → int64[] on a 1e-6 grid. Integer dot products are
-    EXACT in both engines (no accumulation-order / FMA divergence —
-    double-based dot products disagree by 1 ulp between Spark and
-    DuckDB, which flips 6-decimal rounding on boundary values)."""
+    """double[] → int64[] on a 1e-6 grid via FLOOR. Integer dot
+    products are then EXACT in both engines. floor (not round!):
+    ROUND(double, 0) tie-breaks differently between Spark (BigDecimal
+    HALF_UP on the exact binary value) and DuckDB — floor of identical
+    doubles is always the identical integer."""
     F = _F()
-    return F.transform(col, lambda x: F.round(x * QUANT, 0).cast("long"))
+    # explicit double cast: the stored embeddings are float32 and
+    # FLOAT * INT stays single-precision in DuckDB (rounds 294555.99
+    # up to 294556.0 before the floor)
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * QUANT).cast("long")
+    )
 
 
 def _idot(a, b):
@@ -56,7 +62,14 @@ def _idot(a, b):
 
 def q_cosine_topk(spark, sf_dir):
     """Exact top-k cosine neighbors for each query vector over
-    quantized embeddings (brute force; queries broadcast)."""
+    quantized embeddings (brute force; queries broadcast).
+
+    Output carries the EXACT integer dot product and squared norms
+    instead of a rounded float cosine: integer outputs are
+    engine-portable, while ``round(x, 6)`` tie-breaks differently
+    between Spark (BigDecimal HALF_UP on the binary value) and DuckDB
+    on half-way values (observed 1e-6 flips). Ranking still uses the
+    raw double cosine — identical doubles from identical ints."""
     F = _F()
     from pyspark.sql import Window
 
@@ -66,26 +79,35 @@ def q_cosine_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("qe").alias("q_emb")
     )
-    joined = emb.crossJoin(F.broadcast(queries)).withColumn(
-        "cosine",
-        F.round(
-            _idot(F.col("qe"), F.col("q_emb")).cast("double")
-            / (
-                F.sqrt(_idot(F.col("qe"), F.col("qe")).cast("double"))
-                * F.sqrt(_idot(F.col("q_emb"), F.col("q_emb")).cast("double"))
-            ),
-            6,
-        ),
+    dot = _idot(F.col("qe"), F.col("q_emb"))
+    na2 = _idot(F.col("qe"), F.col("qe"))
+    nb2 = _idot(F.col("q_emb"), F.col("q_emb"))
+    joined = (
+        emb.crossJoin(F.broadcast(queries))
+        .withColumn("dot", dot)
+        .withColumn("na2", na2)
+        .withColumn("nb2", nb2)
+        .withColumn(
+            "cos_raw",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         joined.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+        .select(
+            "q_id", "vec_id", "dot", "na2", "nb2",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 
-_SQL_QUANT = f"list_transform(embedding, x -> CAST(ROUND(x * {QUANT}, 0) AS BIGINT))"
+_SQL_QUANT = (
+    f"list_transform(embedding, "
+    f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+)
 
 SQL_COSINE_TOPK = f"""
     WITH qe AS (
@@ -94,14 +116,17 @@ SQL_COSINE_TOPK = f"""
       SELECT vec_id AS q_id, qe AS q_emb FROM qe WHERE vec_id < {N_QUERIES}
     ), scored AS (
       SELECT q.q_id, e.vec_id,
-             ROUND(CAST(list_dot_product(e.qe, q.q_emb) AS DOUBLE)
+             CAST(list_dot_product(e.qe, q.q_emb) AS BIGINT) AS dot,
+             CAST(list_dot_product(e.qe, e.qe) AS BIGINT) AS na2,
+             CAST(list_dot_product(q.q_emb, q.q_emb) AS BIGINT) AS nb2,
+             CAST(list_dot_product(e.qe, q.q_emb) AS DOUBLE)
                / (sqrt(CAST(list_dot_product(e.qe, e.qe) AS DOUBLE))
-                  * sqrt(CAST(list_dot_product(q.q_emb, q.q_emb) AS DOUBLE))), 6) AS cosine
+                  * sqrt(CAST(list_dot_product(q.q_emb, q.q_emb) AS DOUBLE))) AS cos_raw
       FROM qe e CROSS JOIN q
     )
-    SELECT q_id, vec_id, cosine, rank FROM (
-      SELECT q_id, vec_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+    SELECT q_id, vec_id, dot, na2, nb2, rank FROM (
+      SELECT q_id, vec_id, dot, na2, nb2,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
       FROM scored
     ) t WHERE rank <= {TOP_K}
 """
@@ -155,12 +180,72 @@ def _sql_ann_lsh() -> str:
     return f"SELECT vec_id, label, CAST({expr} AS INT) AS bucket FROM embeddings"
 
 
+# testdata embeddings are near-orthogonal (max within-label cosine
+# ~0.47 at sf0.01); 0.35 keeps the check non-vacuous
+NEAR_DUP_COSINE = 0.35
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, blocked by ``label``
+    (the cluster id is the blocking key, so the self-join is an
+    equi-join on label — O(block²) not O(N²)); exact integer-quantized
+    cosine above the threshold. At corpus scale the blocking key comes
+    from the sign-LSH buckets (``ann_lsh_buckets``)."""
+    F = _F()
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", _quantize("embedding").alias("qe")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = _idot(F.col("a.qe"), F.col("b.qe"))
+    na2 = _idot(F.col("a.qe"), F.col("a.qe"))
+    nb2 = _idot(F.col("b.qe"), F.col("b.qe"))
+    cos_raw = dot.cast("double") / (
+        F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            dot.alias("dot"),
+            na2.alias("na2"),
+            nb2.alias("nb2"),
+            cos_raw.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= NEAR_DUP_COSINE)
+        .drop("cos_raw")
+    )
+
+
+SQL_NEAR_DUP = f"""
+    WITH qe AS (
+      SELECT vec_id, label, {_SQL_QUANT} AS qe FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot,
+           CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS na2,
+           CAST(list_dot_product(b.qe, b.qe) AS BIGINT) AS nb2
+    FROM qe a JOIN qe b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
+             / (sqrt(CAST(list_dot_product(a.qe, a.qe) AS DOUBLE))
+                * sqrt(CAST(list_dot_product(b.qe, b.qe) AS DOUBLE))) >= {NEAR_DUP_COSINE}
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_lsh_buckets": _sql_ann_lsh(),
+    "embedding_near_dup": SQL_NEAR_DUP,
 }
