@@ -12,7 +12,7 @@ the bucket key (shuffle bounded by bucket sizes).
 
 from __future__ import annotations
 
-from libpdf_spark.operators.common import load, load_parallel
+from libpdf_spark.operators.common import load_parallel
 
 TOP_K = 5
 N_QUERIES = 3  # vec_id < 3 are the query vectors

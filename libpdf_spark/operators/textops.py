@@ -7,7 +7,7 @@ the ``documents`` table (no UDFs in the hot path).
 
 from __future__ import annotations
 
-from libpdf_spark.operators.common import load, load_parallel
+from libpdf_spark.operators.common import load_parallel
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 

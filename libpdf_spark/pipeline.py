@@ -172,10 +172,8 @@ def extract_turns(
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
     results, one row per input turn (the flagship pipeline)."""
     pruned = transcripts.select("conv_id", "turn_idx", "text", "tool")
-    if cfg.pages:
-        # page pruning happens inside the kernel; turn-level pruning
-        # (e.g. only tool turns carry documents) belongs to the caller.
-        pass
+    # (page pruning happens inside the kernel via cfg.pages; turn-level
+    # pruning — e.g. only tool turns carry documents — is the caller's)
     part = salted_repartition(pruned, cfg, num_partitions) if salted else pruned
     return part.mapInPandas(make_extract_batch(cfg), schema=EXTRACT_SCHEMA)
 
