@@ -218,6 +218,11 @@ def configure_session(builder, shuffle_partitions: int = 32, arrow_batch: int = 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # transcript payloads are ~50-100 KB strings: the default
+        # 4096-row columnar reader batch allocates 0.5-1 GB on-heap per
+        # scan task and OOMs small JVMs (observed: kill-resume drill
+        # with default 1g driver). 512 rows ≈ 25-50 MB per batch.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
     )
 
 

@@ -6,6 +6,7 @@ Cluster usage (north rule: ships via --py-files to N / 4N executors):
     scripts/make_pyfiles.sh                      # → dist/libpdf_spark.zip
     spark-submit \\
         --py-files dist/libpdf_spark.zip \\
+        --driver-memory 8g \\
         --conf spark.sql.shuffle.partitions=<2-3x total cores> \\
         scripts/submit_extract.py \\
         --input  <transcripts parquet/Iceberg path> \\
