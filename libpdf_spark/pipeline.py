@@ -128,7 +128,12 @@ def make_extract_batch(cfg: ExtractConfig):
                     except Exception as exc:  # noqa: BLE001 — per-turn isolation
                         err = f"extract: {type(exc).__name__}: {exc}"
                 out["conv_id"].append(convs[i])
-                out["turn_idx"].append(int(turns[i]))
+                try:
+                    # null turn_idx arrives as NaN through pandas —
+                    # keep the row (keyed -1) instead of killing the task
+                    out["turn_idx"].append(int(turns[i]))
+                except (TypeError, ValueError):
+                    out["turn_idx"].append(-1)
                 out["doc_found"].append(doc is not None or err is not None)
                 out["parse_ok"].append(result is not None)
                 out["error"].append(err)

@@ -118,6 +118,26 @@ def test_payload_in_tool_column(spark):
     assert out.loc[0, "extracted_text"] == b.expected_text()
 
 
+def test_null_turn_idx_does_not_kill_task(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["n1", "n1"],
+            "turn_idx": pd.array([None, 4], dtype="Int32"),
+            "role": ["tool", "tool"],
+            "text": ["no doc here", "also no doc"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+        }
+    )
+    out = (
+        extract_turns(spark.createDataFrame(pdf), ExtractConfig())
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert sorted(out.turn_idx.tolist()) == [-1, 4]
+
+
 def test_metrics_aggregation(spark, corpus):
     transcripts, expected_text, _ = corpus
     df = spark.createDataFrame(transcripts)
