@@ -184,6 +184,66 @@ def group_lines(
     return lines
 
 
+def assemble_lines_bulk(
+    chars: CharArrays, lines: list[np.ndarray], word_margin: float
+) -> list[tuple[str, np.ndarray]]:
+    """Assemble EVERY line of a page in one vectorized pass.
+
+    Equivalent to calling :func:`assemble_line_text` per line, but the
+    gap/space/offset math runs once over the page's chars — per-line
+    numpy call overhead dominated the kernel profile (24 lines × ~8
+    small numpy ops each per document).
+    """
+    if not lines:
+        return []
+    lens = np.fromiter((len(l) for l in lines), dtype=np.int64, count=len(lines))
+    members = np.concatenate(lines)
+    n = len(members)
+    starts = np.zeros(len(lines), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+
+    x0 = chars.x0[members]
+    x1 = chars.x1[members]
+    widths = x1 - x0
+    gaps = np.empty(n)
+    gaps[0] = 0.0
+    gaps[1:] = x0[1:] - x1[:-1]
+    space = gaps > word_margin * widths
+    space[starts] = False
+
+    cum = np.cumsum(space)
+    line_id = np.repeat(np.arange(len(lines)), lens)
+    cum_at_start = (cum - space)[starts]  # spaces before line start
+    within_spaces = cum - cum_at_start[line_id]
+    idx_in_line = np.arange(n, dtype=np.int64) - starts[line_id]
+    offsets_all = idx_in_line + within_spaces
+
+    texts_all = chars.text[members].tolist()
+    space_list = space.tolist()
+    out: list[tuple[str, np.ndarray]] = []
+    for li in range(len(lines)):
+        a = int(starts[li])
+        b = a + int(lens[li])
+        seg = texts_all[a:b]
+        joined = "".join(seg)
+        if len(joined) == len(seg):  # all 1-char glyphs: slice per WORD
+            bounds = [k - a for k in range(a + 1, b) if space_list[k]]
+            if bounds:
+                parts = []
+                prev = 0
+                for cut in bounds:
+                    parts.append(joined[prev:cut])
+                    prev = cut
+                parts.append(joined[prev:])
+                joined = " ".join(parts)
+        else:  # rare multi-char glyphs
+            joined = "".join(
+                (" " + t) if space_list[a + k] else t for k, t in enumerate(seg)
+            )
+        out.append((joined, offsets_all[a:b]))
+    return out
+
+
 def assemble_line_text(
     chars: CharArrays, line: np.ndarray, word_margin: float
 ) -> tuple[str, np.ndarray]:
@@ -328,6 +388,7 @@ def build_boxes(
     lines = group_lines(chars, y_tol, char_margin=cfg.char_margin)
     line_groups, hulls = group_boxes(chars, lines, cfg.line_margin)
     lx0, ly0, lx1, ly1 = hulls if hulls else (None, None, None, None)
+    assembled = assemble_lines_bulk(chars, lines, cfg.word_margin)
 
     boxes: list[Box] = []
     metas: list[tuple[float, float, float, float]] = []
@@ -342,7 +403,7 @@ def build_boxes(
         nchars = 0
         for k, li in enumerate(group_sorted):
             line = lines[li]
-            ltext, loff = assemble_line_text(chars, line, cfg.word_margin)
+            ltext, loff = assembled[li]
             if k > 0:
                 cursor += 1  # the "\n" separator (horizontal_box.py:197-200)
             text_parts.append(ltext)
