@@ -144,9 +144,9 @@ def run_extraction(spark, in_path: str) -> tuple[float, int]:
     from pyspark.sql import functions as F
 
     from libpdf_spark.config import ExtractConfig
-    from libpdf_spark.pipeline import extract_turns
+    from libpdf_spark.pipeline import extract_turns, read_transcripts
 
-    df = spark.read.parquet(in_path)
+    df = read_transcripts(spark, in_path)
     t0 = time.time()
     # 3 partitions per core: straggler smoothing for the UDF stage
     # (1 wave of cores-sized tasks leaves the tail idle — measured +36%)
@@ -210,7 +210,9 @@ def bench_skew(spark) -> dict:
     path = os.path.join(WORK, "skew_corpus")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         hot.write.mode("overwrite").parquet(path)
-    df = spark.read.parquet(path).select("conv_id", "turn_idx", "text", "tool")
+    from libpdf_spark.pipeline import read_transcripts
+
+    df = read_transcripts(spark, path).select("conv_id", "turn_idx", "text", "tool")
     n = df.count()
     cfg = ExtractConfig()
     parallelism = spark.sparkContext.defaultParallelism

@@ -20,6 +20,13 @@ from libpdf_spark.operators.common import load, load_parallel
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = 2
 JACCARD_THRESHOLD = 0.5
+# Stop-shingle guard for the pair join: a shingle shared by k docs emits
+# O(k²) candidate rows, so one piece of boilerplate ("all rights
+# reserved"-class) makes the join quadratic at corpus scale. Shingles
+# with document frequency > MAX_SHINGLE_DF are dropped from the shingle
+# SET (sizes and intersections alike — standard stop-shingle removal),
+# bounding the join at O(N · MAX_SHINGLE_DF). Mirrored in the oracle.
+MAX_SHINGLE_DF = 64
 
 
 def _F():
@@ -100,9 +107,24 @@ def q_dedup_jaccard(spark, sf_dir):
 
     Candidate pairs = pairs sharing >= 1 shingle (equi-join on the
     shingle — the only shuffle key); Jaccard from intersection and
-    per-doc distinct counts, no second pass over text."""
+    per-doc distinct counts, no second pass over text.
+
+    Scale guard: shingles with document frequency > MAX_SHINGLE_DF are
+    removed from the shingle set first (window count over the SAME key
+    the join shuffles on — one Exchange serves both), so no single
+    boilerplate shingle can inflate the pair join quadratically."""
     F = _F()
-    sh = _shingles_df(spark, sf_dir).cache()
+    from pyspark.sql import Window
+
+    raw = _shingles_df(spark, sf_dir)
+    sh = (
+        raw.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -130,10 +152,14 @@ def q_dedup_jaccard(spark, sf_dir):
 SQL_DEDUP_JACCARD = (
     _SQL_SHINGLES
     + f"""
-    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+    , shc AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {MAX_SHINGLE_DF}
+    )
+    , sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id)
     , inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,

@@ -136,8 +136,12 @@ N_PLANES = 8
 
 
 def _plane(i: int, dim: int = 64) -> list[float]:
-    """Deterministic pseudo-random hyperplane (LCG — same constants in
-    both engines would be overkill; the plane values are literals)."""
+    """Deterministic pseudo-random hyperplane via a fixed LCG.
+
+    Both engines consume the SAME values: Spark embeds them as column
+    literals and the DuckDB oracle embeds them as list literals, so
+    there is no cross-engine RNG to keep in sync — the LCG runs once,
+    here, on the driver."""
     vals = []
     state = 1103515245 * (i + 1) % 2147483647
     for _ in range(dim):

@@ -129,11 +129,14 @@ def make_extract_batch(cfg: ExtractConfig):
                         err = f"extract: {type(exc).__name__}: {exc}"
                 out["conv_id"].append(convs[i])
                 try:
-                    # null turn_idx arrives as NaN through pandas —
-                    # keep the row (keyed -1) instead of killing the task
                     out["turn_idx"].append(int(turns[i]))
                 except (TypeError, ValueError):
-                    out["turn_idx"].append(-1)
+                    # null turn_idx arrives as NaN through pandas — keep
+                    # the row with a NULL key (the schema column is
+                    # nullable) so multiple null-turn rows in one
+                    # conversation stay distinguishable by payload
+                    # instead of colliding on a sentinel.
+                    out["turn_idx"].append(None)
                 out["doc_found"].append(doc is not None or err is not None)
                 out["parse_ok"].append(result is not None)
                 out["error"].append(err)
@@ -145,7 +148,10 @@ def make_extract_batch(cfg: ExtractConfig):
                 out["n_chars"].append(result.n_chars if result else 0)
                 out["n_pages"].append(len(result.pages) if result else 0)
                 out["bytes_in"].append(bytes_in)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            # nullable Int32 so None survives Arrow conversion as NULL
+            res["turn_idx"] = pd.array(out["turn_idx"], dtype="Int32")
+            yield res
 
     return extract_batch
 
@@ -223,12 +229,24 @@ def configure_session(builder, shuffle_partitions: int = 32, arrow_batch: int = 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # transcript payloads are ~50-100 KB strings: the default
-        # 4096-row columnar reader batch allocates 0.5-1 GB on-heap per
-        # scan task and OOMs small JVMs (observed: kill-resume drill
-        # with default 1g driver). 512 rows ≈ 25-50 MB per batch.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
     )
+
+
+def read_transcripts(spark: "SparkSession", path: str, reader_batch: int = 512) -> "DataFrame":
+    """Extraction-job transcript scan entrypoint.
+
+    Transcript payloads are ~50-100 KB strings: the default 4096-row
+    columnar reader batch allocates 0.5-1 GB on-heap per scan task and
+    OOMs small JVMs (observed: kill-resume drill with a default 1g
+    driver). 512 rows ≈ 25-50 MB per batch. The batch size is a session
+    conf (no per-read parquet option exists for it), so it is set HERE,
+    at the extraction entrypoint, rather than in
+    :func:`configure_session` — narrow relational tables read in the
+    same session keep the default-sized batches until an extraction
+    scan runs.
+    """
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", str(reader_batch))
+    return spark.read.parquet(path)
 
 
 def write_stable(extracted: "DataFrame", path: str, fmt: str = "parquet") -> None:

@@ -36,13 +36,13 @@ def main() -> None:
 
     from libpdf_spark.config import ExtractConfig
     from libpdf_spark.lineage import read_lineage, run_resumable
-    from libpdf_spark.pipeline import configure_session
+    from libpdf_spark.pipeline import configure_session, read_transcripts
 
     spark = configure_session(SparkSession.builder.appName("libpdf-extract")).getOrCreate()
     cfg = ExtractConfig(
         salt_buckets=args.salt_buckets, smart_page_crop=args.smart_page_crop
     )
-    transcripts = spark.read.parquet(args.input)
+    transcripts = read_transcripts(spark, args.input)
     summary = run_resumable(
         spark,
         transcripts,
