@@ -696,14 +696,26 @@ def family_full_features(seed: int = 0) -> DocBuilder:
 # transcript corpus generation (input_hint shape)
 # --------------------------------------------------------------------------
 
-# families expressible in the mini-PDF byte-stream subset
-# (text + ruled lines + colored rects; see pdfmini.py)
+# families expressible in the mini-PDF byte-stream subset — since the
+# round-2 pdfmini upgrade (multi-font /Widths, text color, image-XObject
+# figures, outline tree, link annos, named dests, /Info) that is ALL of
+# them; round-trip parity is asserted per-family in tests/test_pdfmini.py
 PDF_CAPABLE_FAMILIES = {
     "plain_paragraphs",
     "multi_column",
+    "nested_chapters",
+    "virtual_chapters",
+    "ghost_chapter",
+    "split_heading",
     "ruled_tables",
     "merged_cells",
+    "figures_filtering",
     "rects_code",
+    "word_colors",
+    "header_footer",
+    "links",
+    "catalog_edge",
+    "full_features",
 }
 
 
@@ -777,12 +789,13 @@ def gen_transcripts(
                 smart = False
                 doc = builder.build()
                 if fam in PDF_CAPABLE_FAMILIES and (ci + ti) % 2 == 0:
-                    # real PDF byte-stream embedding (same ground truth)
+                    # real PDF byte-stream embedding (same ground truth);
+                    # half of the PDFs FlateDecode-compressed
                     from libpdf_spark.payload import embed_pdf
                     from libpdf_spark.pdfmini import write_pdf
 
                     body = embed_pdf(
-                        write_pdf(doc),
+                        write_pdf(doc, compress=(ci % 2 == 0)),
                         prefix=f"turn {ti} of {conv_id} attaches a pdf: ",
                     )
                 else:

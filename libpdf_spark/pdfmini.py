@@ -1,126 +1,500 @@
-"""Minimal PDF byte-stream writer + parser (uncompressed subset).
+"""Minimal PDF byte-stream writer + parser (no third-party PDF library).
 
 The north star's turns carry "embedded PDF byte-streams or serialized
 layout markup". The markup path is primary; this module closes the
-byte-stream loop for the subset a synthetic corpus needs, with no
-third-party PDF library:
+byte-stream loop so the extraction kernel runs unchanged on true PDFs:
 
 * :func:`write_pdf` — emits a real, valid PDF 1.4 file (xref table and
-  all) with Courier text (``BT/Tf/Td/Tj/ET``), stroked thin rectangles
-  for ruled-table edges, and filled colored rectangles (``re f``/
-  ``re S`` with ``rg`` color) — uncompressed streams;
-* :func:`parse_pdf` — a tolerant scanner that recovers page MediaBoxes
-  and replays each content stream's text/graphics operators into the
-  SAME layout-payload dict the markup path produces (chars with
-  geometry + lines + rects), so the entire extraction kernel runs
-  unchanged on true byte-streams.
+  all): multi-font text via ``BT/Tf/Td/TJ/ET`` with per-glyph kerning
+  so arbitrary char geometry round-trips exactly, stroked thin
+  rectangles for ruled-table edges, filled colored rectangles, image
+  XObjects for figures, an /Outlines tree, /Link annotations, named
+  /Dests and an /Info dictionary — optionally FlateDecode-compressed.
+* :func:`parse_pdf` — a tolerant sequential scanner with a real PDF
+  object parser (dicts/arrays/strings/names/refs/streams) and a
+  content-stream interpreter (graphics + text state machines, CTM and
+  text-matrix tracking, per-font /Widths) that recovers the SAME
+  layout-payload dict the markup path produces.
 
-Geometry model: Courier advance = 0.6 × font size (the PDF standard
-metric for Courier), so 10 pt text reproduces the fixtures' 6×10 pt
-char grid exactly. Reference parity: this replaces what pdfminer's
-interpreter feeds the reference (``textbox.py:934-977``).
+Reference parity: this replaces what pdfminer's interpreter feeds the
+reference (``textbox.py:934-977``). Title strings follow the
+reference's decode chain (``utils.py:72-84``): UTF-16BE BOM → UTF-8 →
+latin-1 (X4). Unsupported stream filters raise ``ValueError`` so the
+row is a RECORDED parse failure in the metrics table, never silent
+data loss.
+
+Width model: Courier = 600/1000 em for every glyph (the PDF standard
+metric). Non-Courier fonts written by :func:`write_pdf` embed their
+/Widths array, and :func:`parse_pdf` always prefers embedded /Widths;
+the built-in Helvetica table (public Adobe AFM metrics) is only the
+fallback for foreign standard-14 PDFs that omit /Widths.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
+from dataclasses import dataclass
 
 COURIER_ADVANCE = 0.6  # × font size — standard Courier width
+
+# ---------------------------------------------------------------------------
+# font metrics
+# ---------------------------------------------------------------------------
+
+# Helvetica AFM widths (1/1000 em), public Adobe core-14 metrics.
+_HELVETICA_WIDTHS = {
+    " ": 278, "!": 278, '"': 355, "#": 556, "$": 556, "%": 889, "&": 667,
+    "'": 191, "(": 333, ")": 333, "*": 389, "+": 584, ",": 278, "-": 333,
+    ".": 278, "/": 278, "0": 556, "1": 556, "2": 556, "3": 556, "4": 556,
+    "5": 556, "6": 556, "7": 556, "8": 556, "9": 556, ":": 278, ";": 278,
+    "<": 584, "=": 584, ">": 584, "?": 556, "@": 1015, "A": 667, "B": 667,
+    "C": 722, "D": 722, "E": 667, "F": 611, "G": 778, "H": 722, "I": 278,
+    "J": 500, "K": 667, "L": 556, "M": 833, "N": 722, "O": 778, "P": 667,
+    "Q": 778, "R": 722, "S": 667, "T": 611, "U": 722, "V": 667, "W": 944,
+    "X": 667, "Y": 667, "Z": 611, "[": 278, "\\": 278, "]": 278, "^": 469,
+    "_": 556, "`": 333, "a": 556, "b": 556, "c": 500, "d": 556, "e": 556,
+    "f": 278, "g": 556, "h": 556, "i": 222, "j": 222, "k": 500, "l": 222,
+    "m": 833, "n": 556, "o": 556, "p": 556, "q": 556, "r": 333, "s": 500,
+    "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
+    "{": 334, "|": 260, "}": 334, "~": 584,
+}
+
+_FALLBACK_WIDTH = 500
+
+
+def font_width_millis(fontname: str | None, ch: str) -> int:
+    """Glyph advance in 1/1000 em for the built-in metric tables."""
+    name = fontname or "Courier"
+    if "Courier" in name or "Mono" in name:
+        return 600
+    if "Helvetica" in name or "Arial" in name:
+        return _HELVETICA_WIDTHS.get(ch, _FALLBACK_WIDTH)
+    return _FALLBACK_WIDTH
+
+
+# ---------------------------------------------------------------------------
+# string codecs (X4: UTF-16BE BOM → UTF-8 → latin-1)
+# ---------------------------------------------------------------------------
+
+
+def decode_pdf_string(raw: bytes) -> str:
+    """Reference decode chain for title/info strings (utils.py:72-84)."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", "replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
 
 
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _unesc(s: str) -> str:
-    out = []
-    i = 0
-    while i < len(s):
-        c = s[i]
-        if c == "\\" and i + 1 < len(s):
-            n = s[i + 1]
-            if n in "()\\":
-                out.append(n)
+def _pdf_string(s: str) -> str:
+    """Serialize a text string: literal when latin-1-safe, else
+    UTF-16BE hex with BOM (the form the decode chain recognizes)."""
+    try:
+        s.encode("latin-1")
+        if all(ord(c) < 127 for c in s):
+            return f"({_esc(s)})"
+    except UnicodeEncodeError:
+        pass
+    return "<FEFF" + s.encode("utf-16-be").hex().upper() + ">"
+
+
+def _num(v: float) -> str:
+    out = f"{float(v):.4f}".rstrip("0").rstrip(".")
+    return out if out not in ("", "-0") else "0"
+
+
+# ---------------------------------------------------------------------------
+# object model (parser side)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+
+
+class Name(str):
+    """A PDF name token (/X) — distinct from text strings (bytes)."""
+
+
+@dataclass
+class Stream:
+    dict: dict
+    raw: bytes
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R(?![A-Za-z0-9_])")
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+_OP_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment
+            while i < n and data[i] not in (0x0D, 0x0A):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_name(data: bytes, i: int):
+    m = _NAME_RE.match(data, i)
+    raw = m.group(1)
+    # #xx hex escapes in names
+    if b"#" in raw:
+        raw = re.sub(
+            rb"#([0-9A-Fa-f]{2})", lambda g: bytes([int(g.group(1), 16)]), raw
+        )
+    return Name(raw.decode("latin-1")), m.end()
+
+
+def _parse_lit_string(data: bytes, i: int):
+    i += 1  # past (
+    out = bytearray()
+    depth = 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            if i + 1 >= n:
+                break
+            nxt = data[i + 1]
+            if nxt in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[nxt])
                 i += 2
-                continue
-            if n == "n":
-                out.append("\n")
+            elif nxt in b"()\\":
+                out.append(nxt)
                 i += 2
-                continue
-            if n == "t":
-                out.append("\t")
-                i += 2
-                continue
-            if n.isdigit():  # octal escape, up to 3 digits
+            elif 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
                 j = i + 1
-                while j < len(s) and j < i + 4 and s[j].isdigit():
+                while j < n and j < i + 4 and 0x30 <= data[j] <= 0x37:
                     j += 1
-                out.append(chr(int(s[i + 1 : j], 8)))
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
                 i = j
-                continue
-        out.append(c)
+            elif nxt in (0x0D, 0x0A):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(nxt)
+                i += 2
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("unterminated PDF string")
+
+
+def _parse_hex_string(data: bytes, i: int):
+    j = data.find(b">", i + 1)
+    if j < 0:
+        raise ValueError("unterminated hex string")
+    hx = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : j])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")), j + 1
+
+
+def _parse_obj(data: bytes, i: int):
+    """One PDF object at ``i`` → (value, next_pos). Strings are bytes,
+    names are :class:`Name`, refs are :class:`Ref`."""
+    i = _skip_ws(data, i)
+    if i >= len(data):
+        raise ValueError("unexpected end of PDF data")
+    c = data[i : i + 1]
+    if c == b"<":
+        if data[i : i + 2] == b"<<":
+            return _parse_dict(data, i)
+        return _parse_hex_string(data, i)
+    if c == b"(":
+        return _parse_lit_string(data, i)
+    if c == b"/":
+        return _parse_name(data, i)
+    if c == b"[":
         i += 1
-    return "".join(out)
+        arr: list = []
+        while True:
+            i = _skip_ws(data, i)
+            if i >= len(data):
+                raise ValueError("unterminated array")
+            if data[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_obj(data, i)
+            arr.append(v)
+    if data[i : i + 4] == b"true":
+        return True, i + 4
+    if data[i : i + 5] == b"false":
+        return False, i + 5
+    if data[i : i + 4] == b"null":
+        return None, i + 4
+    m = _REF_RE.match(data, i)
+    if m:
+        return Ref(int(m.group(1))), m.end()
+    m = _NUM_RE.match(data, i)
+    if m:
+        s = m.group(0)
+        return (float(s) if b"." in s else int(s)), m.end()
+    raise ValueError(f"bad PDF object at offset {i}")
 
 
-def write_pdf(doc: dict) -> bytes:
-    """Layout-payload dict (markup schema) → PDF bytes.
+def _parse_dict(data: bytes, i: int):
+    i += 2  # past <<
+    out: dict = {}
+    while True:
+        i = _skip_ws(data, i)
+        if i >= len(data):
+            raise ValueError("unterminated dict")
+        if data[i : i + 2] == b">>":
+            return out, i + 2
+        if data[i : i + 1] != b"/":
+            raise ValueError(f"bad dict key at offset {i}")
+        key, i = _parse_name(data, i)
+        val, i = _parse_obj(data, i)
+        out[str(key)] = val
+    # unreachable
 
-    Supported: pages (width/height), chars (re-grouped into Tj runs of
-    uniformly-spaced chars), lines (thin stroked rects), rects (filled
-    colored rects). Outline/annos/figures stay on the markup path.
-    """
-    pages = doc.get("pages", [])
-    chars = doc.get("chars", [])
+
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _scan_objects(data: bytes) -> dict[int, object]:
+    """Sequential object scan: each object is parsed structurally and
+    streams are sliced by /Length, so binary (compressed) stream bytes
+    can never be mistaken for object boundaries."""
+    objects: dict[int, object] = {}
+    pos = 0
+    while True:
+        m = _OBJ_HEADER_RE.search(data, pos)
+        if not m:
+            break
+        num = int(m.group(1))
+        try:
+            val, j = _parse_obj(data, m.end())
+            j2 = _skip_ws(data, j)
+            if isinstance(val, dict) and data[j2 : j2 + 6] == b"stream":
+                s = j2 + 6
+                if data[s : s + 2] == b"\r\n":
+                    s += 2
+                elif data[s : s + 1] == b"\n":
+                    s += 1
+                length = val.get("Length")
+                if isinstance(length, int):
+                    raw = data[s : s + length]
+                    j = s + length
+                else:  # indirect /Length — tolerant fallback
+                    e = data.find(b"endstream", s)
+                    if e < 0:
+                        raise ValueError("unterminated stream")
+                    raw = data[s:e].rstrip(b"\r\n")
+                    j = e
+                val = Stream(val, raw)
+        except ValueError:
+            j = m.end()  # skip the bad object, keep scanning
+            val = None
+        if val is not None:
+            objects[num] = val
+        pos = max(j, m.end())
+    return objects
+
+
+def _stream_bytes(stm: Stream) -> bytes:
+    """Apply stream filters. Unknown filters raise ``ValueError`` so
+    the document is a RECORDED parse failure (ADVICE r1: never return
+    empty text with parse_ok=true for a compressed stream)."""
+    filt = stm.dict.get("Filter")
+    if filt is None:
+        return stm.raw
+    filters = filt if isinstance(filt, list) else [filt]
+    data = stm.raw
+    for f in filters:
+        if str(f) == "FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+        else:
+            raise ValueError(f"unsupported stream filter /{f}")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _rows_from_chars(chars) -> list[dict]:
     if isinstance(chars, dict):  # columnar → rows
         n = len(chars["page"])
-        chars = [
-            {k: chars[k][i] for k in ("page", "text", "x0", "y0", "x1", "y1")}
-            for i in range(n)
-        ]
-    lines = doc.get("lines", [])
-    rects = doc.get("rects", [])
+        keys = [k for k in ("page", "text", "x0", "y0", "x1", "y1", "fontname", "ncolor") if k in chars]
+        return [{k: chars[k][i] for k in keys} for i in range(n)]
+    return list(chars or [])
 
-    objects: list[bytes] = []  # 1-indexed
 
-    def add(obj: bytes) -> int:
+_META_TO_INFO = {
+    "author": "Author", "title": "Title", "subject": "Subject",
+    "creator": "Creator", "producer": "Producer", "keywords": "Keywords",
+    "creation_date": "CreationDate", "mod_date": "ModDate",
+}
+
+
+def write_pdf(doc: dict, compress: bool = False) -> bytes:
+    """Layout-payload dict (markup schema) → PDF bytes.
+
+    Supported: pages, chars (any fontname/size/color/geometry — glyphs
+    are positioned exactly via TJ kerning), lines (thin stroked rects),
+    rects (filled colored rects), figures (1×1 gray image XObjects
+    placed via ``cm … Do``), outline (nested /Outlines tree; non-ASCII
+    titles as UTF-16BE hex), annos (/Link with /Dest array or named
+    dest), dests (catalog /Dests dict), meta (/Info). With
+    ``compress=True`` every content stream is FlateDecode-compressed.
+    """
+    pages = doc.get("pages", [])
+    chars = _rows_from_chars(doc.get("chars"))
+    lines = doc.get("lines") or []
+    rects = doc.get("rects") or []
+    figures = doc.get("figures") or []
+    outline = doc.get("outline") or []
+    annos = doc.get("annos") or []
+    dests = doc.get("dests") or {}
+    meta = doc.get("meta") or {}
+
+    objects: list[bytes | None] = []  # 1-indexed
+
+    def add(obj: bytes | None = None) -> int:
         objects.append(obj)
         return len(objects)
 
-    font_num = add(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
-    )
+    # --- fonts (shared across pages) ---
+    # /Widths are derived from the document's OBSERVED char geometry
+    # (first observation per glyph, advance normalized to 1/1000 em),
+    # so the PDF is self-describing and round-trips any font name
+    # exactly; built-in metrics only fill unobserved codes. A font
+    # whose every observed glyph is Courier-600 is written without
+    # /Widths, exercising the parser's standard-14 fallback.
+    fontnames = sorted({(c.get("fontname") or "Courier") for c in chars}) or ["Courier"]
+    observed: dict[str, dict[int, float]] = {fn: {} for fn in fontnames}
+    for c in chars:
+        fn = c.get("fontname") or "Courier"
+        size = float(c["y1"]) - float(c["y0"])
+        if size > 0:
+            code = ord(str(c["text"])[:1] or " ")
+            observed[fn].setdefault(
+                code, round((float(c["x1"]) - float(c["x0"])) / size * 1000.0, 3)
+            )
+    width_of: dict[str, dict[int, float]] = {}
+    font_res: dict[str, tuple[str, int]] = {}
+    for i, fn in enumerate(fontnames, start=1):
+        safe = re.sub(r"[^!-~]", "", fn) or "Courier"
+        table = {
+            code: observed[fn].get(code, float(font_width_millis(fn, chr(code))))
+            for code in range(32, 127)
+        }
+        table.update(observed[fn])  # codes outside 32..126 too
+        width_of[fn] = table
+        if "Courier" in fn and all(w == 600 for w in observed[fn].values()):
+            width_of[fn] = {code: 600.0 for code in table}
+            body = f"<< /Type /Font /Subtype /Type1 /BaseFont /{safe} >>"
+        else:
+            widths = " ".join(
+                _num(table[code]) for code in range(32, 127)
+            )
+            body = (
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /{safe} "
+                f"/FirstChar 32 /LastChar 126 /Widths [{widths}] >>"
+            )
+        font_res[fn] = (f"F{i}", add(body.encode()))
 
-    page_obj_nums = []
-    kids_placeholder = add(b"PAGES_PLACEHOLDER")  # pages tree, patched later
+    pages_num = add()  # pages-tree placeholder, patched below
+    page_obj_nums: list[int] = []
+    deferred_pages: list[tuple[int, str]] = []  # (objnum, body-with-ANNOTS slot)
 
     for p in pages:
         pno = int(p["number"])
         w, h = float(p["width"]), float(p["height"])
         ops: list[str] = []
-        # --- text: one Tj per char run (sorted for determinism) ---
+
+        # --- text: one BT/TJ per same-(line,font,size) run ---
         page_chars = sorted(
             (c for c in chars if int(c["page"]) == pno),
             key=lambda c: (-float(c["y0"]), float(c["x0"])),
         )
-        run: list[dict] = []
-
-        def flush_run():
-            if not run:
-                return
-            size = float(run[0]["y1"]) - float(run[0]["y0"])
-            x0, y0 = float(run[0]["x0"]), float(run[0]["y0"])
-            text = "".join(str(c["text"]) for c in run)
+        cur_fill = (0.0, 0.0, 0.0)
+        i = 0
+        while i < len(page_chars):
+            c0 = page_chars[i]
+            size = float(c0["y1"]) - float(c0["y0"])
+            fn = c0.get("fontname") or "Courier"
+            col = tuple(c0.get("ncolor") or (0.0, 0.0, 0.0))
+            run = [c0]
+            j = i + 1
+            while j < len(page_chars):
+                cj = page_chars[j]
+                if (
+                    abs(float(cj["y0"]) - float(c0["y0"])) > 1e-6
+                    or (cj.get("fontname") or "Courier") != fn
+                    or tuple(cj.get("ncolor") or (0.0, 0.0, 0.0)) != col
+                    or abs((float(cj["y1"]) - float(cj["y0"])) - size) > 1e-6
+                ):
+                    break
+                run.append(cj)
+                j += 1
+            i = j
+            if col != cur_fill:
+                ops.append(f"{_num(col[0])} {_num(col[1])} {_num(col[2])} rg")
+                cur_fill = col
+            # TJ with per-glyph kerning so arbitrary geometry round-trips
+            items: list[str] = []
+            buf: list[str] = []
+            pen = float(run[0]["x0"])
+            ftable = width_of[fn]
+            for c in run:
+                ch0 = str(c["text"])[:1] or " "
+                wg = (
+                    ftable.get(ord(ch0), float(font_width_millis(fn, ch0)))
+                    * size / 1000.0
+                )
+                gap = float(c["x0"]) - pen
+                if abs(gap) > 1e-4:
+                    if buf:
+                        items.append(f"({_esc(''.join(buf))})")
+                        buf = []
+                    items.append(_num(-gap * 1000.0 / size))
+                    pen = float(c["x0"])
+                buf.append(str(c["text"]))
+                pen += wg
+            if buf:
+                items.append(f"({_esc(''.join(buf))})")
+            resname = font_res[fn][0]
             ops.append("BT")
-            ops.append(f"/F1 {size:g} Tf")
-            ops.append(f"{x0:g} {y0:g} Td")
-            ops.append(f"({_esc(text)}) Tj")
+            ops.append(f"/{resname} {_num(size)} Tf")
+            ops.append(f"{_num(float(run[0]['x0']))} {_num(float(run[0]['y0']))} Td")
+            ops.append(f"[{' '.join(items)}] TJ")
             ops.append("ET")
-            run.clear()
-
-        for c in run_groups(page_chars):
-            run.extend(c)
-            flush_run()
+        if cur_fill != (0.0, 0.0, 0.0):
+            ops.append("0 0 0 rg")
 
         # --- ruled lines as thin stroked rects ---
         for ln in lines:
@@ -130,220 +504,646 @@ def write_pdf(doc: dict) -> bytes:
             x1, y1 = float(ln["x1"]), float(ln["y1"])
             ops.append("0 0 0 RG 0.5 w")
             ops.append(
-                f"{min(x0, x1):g} {min(y0, y1):g} "
-                f"{abs(x1 - x0):g} {abs(y1 - y0):g} re S"
+                f"{_num(min(x0, x1))} {_num(min(y0, y1))} "
+                f"{_num(abs(x1 - x0))} {_num(abs(y1 - y0))} re S"
             )
         # --- colored rects ---
         for r in rects:
             if int(r["page"]) != pno:
                 continue
             col = r.get("non_stroking_color") or [0, 0, 0]
-            ops.append(f"{col[0]:g} {col[1]:g} {col[2]:g} rg")
+            ops.append(f"{_num(col[0])} {_num(col[1])} {_num(col[2])} rg")
             ops.append(
-                f"{float(r['x0']):g} {float(r['y0']):g} "
-                f"{float(r['x1']) - float(r['x0']):g} "
-                f"{float(r['y1']) - float(r['y0']):g} re f"
+                f"{_num(float(r['x0']))} {_num(float(r['y0']))} "
+                f"{_num(float(r['x1']) - float(r['x0']))} "
+                f"{_num(float(r['y1']) - float(r['y0']))} re f"
+            )
+
+        # --- figures as image XObjects ---
+        xobj_entries = []
+        k = 0
+        for fg in figures:
+            if int(fg["page"]) != pno:
+                continue
+            k += 1
+            img_num = add(
+                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
+                b"stream\n\x80\nendstream"
+            )
+            xobj_entries.append((f"Im{k}", img_num))
+            fx0, fy0 = float(fg["x0"]), float(fg["y0"])
+            fw = float(fg["x1"]) - fx0
+            fh = float(fg["y1"]) - fy0
+            ops.append(
+                f"q {_num(fw)} 0 0 {_num(fh)} {_num(fx0)} {_num(fy0)} cm /Im{k} Do Q"
             )
 
         content = ("\n".join(ops)).encode("latin-1", "replace")
-        content_num = add(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+        if compress:
+            z = zlib.compress(content)
+            content_num = add(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(z), z)
+            )
+        else:
+            content_num = add(
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+            )
+
+        fonts = " ".join(f"/{r} {n} 0 R" for r, n in font_res.values())
+        resources = f"/Resources << /Font << {fonts} >>"
+        if xobj_entries:
+            xo = " ".join(f"/{r} {n} 0 R" for r, n in xobj_entries)
+            resources += f" /XObject << {xo} >>"
+        resources += " >>"
+        page_num = add()  # placeholder: /Annots needs anno objs (below)
+        body = (
+            f"<< /Type /Page /Parent {pages_num} 0 R "
+            f"/MediaBox [0 0 {_num(w)} {_num(h)}] "
+            f"{resources} /Contents {content_num} 0 R__ANNOTS__ >>"
         )
-        page_num = add(
-            (
-                f"<< /Type /Page /Parent {kids_placeholder} 0 R "
-                f"/MediaBox [0 0 {w:g} {h:g}] "
-                f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
-                f"/Contents {content_num} 0 R >>"
-            ).encode()
-        )
+        deferred_pages.append((page_num, body))
         page_obj_nums.append(page_num)
 
+    page_of = {int(p["number"]): obj for p, obj in zip(pages, page_obj_nums)}
+
+    def dest_str(d: dict) -> str:
+        pg = page_of.get(int(d["page"]), page_obj_nums[0] if page_obj_nums else 0)
+        return (
+            f"[{pg} 0 R /XYZ {_num(float(d.get('x', 0.0)))} "
+            f"{_num(float(d.get('y', 0.0)))} 0]"
+        )
+
+    # --- link annotations ---
+    annots_of_page: dict[int, list[int]] = {}
+    for a in annos:
+        rect = a["rect"]
+        parts = [
+            "/Type /Annot /Subtype /Link /Border [0 0 0]",
+            f"/Rect [{' '.join(_num(float(v)) for v in rect)}]",
+        ]
+        if a.get("dest"):
+            parts.append(f"/Dest {dest_str(a['dest'])}")
+        elif a.get("dest_name") is not None:
+            parts.append(f"/Dest {_pdf_string(str(a['dest_name']))}")
+        elif a.get("uri"):
+            parts.append(f"/A << /S /URI /URI {_pdf_string(str(a['uri']))} >>")
+        n = add(f"<< {' '.join(parts)} >>".encode("latin-1", "replace"))
+        annots_of_page.setdefault(int(a["page"]), []).append(n)
+
+    for (page_num, body), p in zip(deferred_pages, pages):
+        nums = annots_of_page.get(int(p["number"]))
+        slot = f" /Annots [{' '.join(f'{n} 0 R' for n in nums)}]" if nums else ""
+        objects[page_num - 1] = body.replace("__ANNOTS__", slot).encode()
+
+    # --- outline tree from flat (title, level) list ---
+    outlines_num = None
+    if outline:
+        item_nums = [add() for _ in outline]
+        outlines_num = add()
+        parents = [-1] * len(outline)
+        stack: list[tuple[int, int]] = []
+        for idx, it in enumerate(outline):
+            lev = int(it.get("level", 1))
+            while stack and stack[-1][0] >= lev:
+                stack.pop()
+            parents[idx] = stack[-1][1] if stack else -1
+            stack.append((lev, idx))
+        children: dict[int, list[int]] = {}
+        for idx, par in enumerate(parents):
+            children.setdefault(par, []).append(idx)
+
+        def descendants(idx: int) -> int:
+            kids = children.get(idx, [])
+            return len(kids) + sum(descendants(kk) for kk in kids)
+
+        for idx, it in enumerate(outline):
+            sibs = children[parents[idx]]
+            pos = sibs.index(idx)
+            parts = [f"/Title {_pdf_string(str(it.get('title') or ''))}"]
+            par_obj = outlines_num if parents[idx] < 0 else item_nums[parents[idx]]
+            parts.append(f"/Parent {par_obj} 0 R")
+            if pos > 0:
+                parts.append(f"/Prev {item_nums[sibs[pos - 1]]} 0 R")
+            if pos + 1 < len(sibs):
+                parts.append(f"/Next {item_nums[sibs[pos + 1]]} 0 R")
+            kids = children.get(idx, [])
+            if kids:
+                parts.append(f"/First {item_nums[kids[0]]} 0 R")
+                parts.append(f"/Last {item_nums[kids[-1]]} 0 R")
+                parts.append(f"/Count {descendants(idx)}")
+            if it.get("dest"):
+                parts.append(f"/Dest {dest_str(it['dest'])}")
+            objects[item_nums[idx] - 1] = (
+                f"<< {' '.join(parts)} >>".encode("latin-1", "replace")
+            )
+        top = children[-1]
+        objects[outlines_num - 1] = (
+            f"<< /Type /Outlines /First {item_nums[top[0]]} 0 R "
+            f"/Last {item_nums[top[-1]]} 0 R /Count {len(outline)} >>"
+        ).encode()
+
+    # --- named destinations (PDF 1.1 catalog /Dests dict) ---
+    dests_num = None
+    if dests:
+        entries = " ".join(
+            f"/{re.sub(r'[^!-~]', '', str(name))} {dest_str(d)}"
+            for name, d in sorted(dests.items())
+        )
+        dests_num = add(f"<< {entries} >>".encode())
+
+    # --- /Info metadata ---
+    info_num = None
+    info_parts = [
+        f"/{_META_TO_INFO[k]} {_pdf_string(str(meta[k]))}"
+        for k in sorted(_META_TO_INFO)
+        if meta.get(k) not in (None, "")
+    ]
+    if meta.get("trapped"):
+        info_parts.append(f"/Trapped /{re.sub(r'[^!-~]', '', str(meta['trapped']))}")
+    if info_parts:
+        info_num = add(f"<< {' '.join(info_parts)} >>".encode("latin-1", "replace"))
+
     kids = " ".join(f"{n} 0 R" for n in page_obj_nums)
-    objects[kids_placeholder - 1] = (
+    objects[pages_num - 1] = (
         f"<< /Type /Pages /Kids [{kids}] /Count {len(page_obj_nums)} >>"
     ).encode()
-    catalog_num = add(
-        f"<< /Type /Catalog /Pages {kids_placeholder} 0 R >>".encode()
-    )
+    cat_parts = [f"/Type /Catalog /Pages {pages_num} 0 R"]
+    if outlines_num:
+        cat_parts.append(f"/Outlines {outlines_num} 0 R")
+    if dests_num:
+        cat_parts.append(f"/Dests {dests_num} 0 R")
+    catalog_num = add(f"<< {' '.join(cat_parts)} >>".encode())
 
-    # serialize with a real xref table
+    # --- serialize with a real xref table ---
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
         offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+        out += f"{i} 0 obj\n".encode() + (obj or b"null") + b"\nendobj\n"
     xref_pos = len(out)
     out += f"xref\n0 {len(objects) + 1}\n".encode()
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
-        f"startxref\n{xref_pos}\n%%EOF\n"
-    ).encode()
+    trailer = f"<< /Size {len(objects) + 1} /Root {catalog_num} 0 R"
+    if info_num:
+        trailer += f" /Info {info_num} 0 R"
+    trailer += " >>"
+    out += f"trailer\n{trailer}\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
 
 
-def run_groups(page_chars: list[dict]):
-    """Group consecutive same-baseline, uniformly-advancing chars into
-    Tj runs (including implied spaces as real space chars so the
-    parser's advance model reproduces the exact grid)."""
-    group: list[dict] = []
-    for c in page_chars:
-        if not group:
-            group = [c]
-            continue
-        prev = group[-1]
-        same_line = abs(float(c["y0"]) - float(prev["y0"])) < 1e-6
-        advance = float(prev["x1"]) - float(prev["x0"])
-        gap = float(c["x0"]) - float(prev["x1"])
-        if same_line and abs(gap) < 1e-6:
-            group.append(c)
-        elif same_line and 0 < gap and abs(gap % advance) < 1e-6 and gap / advance <= 3:
-            # re-insert the implied spaces as space chars
-            n_spaces = int(round(gap / advance))
-            x = float(prev["x1"])
-            for _ in range(n_spaces):
-                group.append(
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_ID_MAT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1, m2):
+    """Row-vector convention: point·(m1·m2) = (point·m1)·m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _apply(m, x, y):
+    a, b, c, d, e, f = m
+    return a * x + c * y + e, b * x + d * y + f
+
+
+def _translate(tx, ty):
+    return (1.0, 0.0, 0.0, 1.0, float(tx), float(ty))
+
+
+class _Resolver:
+    def __init__(self, objects: dict[int, object]):
+        self.objects = objects
+
+    def __call__(self, v, depth: int = 0):
+        while isinstance(v, Ref) and depth < 32:
+            v = self.objects.get(v.num)
+            depth += 1
+        return v
+
+
+def _content_tokens(data: bytes):
+    i, n = 0, len(data)
+    while True:
+        i = _skip_ws(data, i)
+        if i >= n:
+            return
+        c = data[i]
+        if c in b"(<[/" or 0x30 <= c <= 0x39 or c in b"+-.":
+            try:
+                v, i = _parse_obj(data, i)
+            except ValueError:
+                i += 1
+                continue
+            yield ("obj", v)
+        else:
+            m = _OP_RE.match(data, i)
+            if not m:
+                i += 1
+                continue
+            op = m.group(0).decode("latin-1")
+            i = m.end()
+            if op == "BI":  # inline image: skip to EI (foreign PDFs)
+                e = data.find(b"EI", i)
+                i = n if e < 0 else e + 2
+                continue
+            yield ("op", op)
+
+
+def _font_info(res: dict, resolve) -> dict[str, dict]:
+    fonts = {}
+    fdict = resolve(res.get("Font")) or {}
+    for rname, fref in fdict.items():
+        fobj = resolve(fref) or {}
+        widths = resolve(fobj.get("Widths"))
+        fonts[rname] = {
+            "basefont": str(fobj.get("BaseFont") or "Courier"),
+            "first": int(resolve(fobj.get("FirstChar")) or 0),
+            "widths": [float(resolve(w)) for w in widths] if widths else None,
+        }
+    return fonts
+
+
+def _glyph_width_millis(finfo: dict | None, ch: str) -> float:
+    if finfo:
+        widths = finfo.get("widths")
+        if widths is not None:
+            idx = ord(ch) - finfo["first"]
+            if 0 <= idx < len(widths):
+                return widths[idx]
+        return font_width_millis(finfo["basefont"], ch)
+    return font_width_millis(None, ch)
+
+
+def _interpret_content(
+    content: bytes, fonts: dict, xobjects: set, pageno: int,
+    chars: list, lines: list, rects: list, figures: list,
+) -> None:
+    """Replay one page's content stream into payload rows.
+
+    Text state per PDF 32000 §9: a line matrix advanced by Td/TD/T*,
+    a text matrix advanced per glyph, both composed with the CTM. The
+    run-of-the-mill subset only — enough for every construct
+    :func:`write_pdf` emits plus Tm/Tc/Tw/'/" from foreign producers.
+    """
+    ctm = _ID_MAT
+    gstack: list[tuple] = []
+    fill = (0.0, 0.0, 0.0)
+    tm = lm = _ID_MAT
+    font: dict | None = None
+    fname = "Courier"
+    size = 10.0
+    leading = 0.0
+    tc = tw = 0.0
+    operands: list = []
+    path_rects: list[tuple[float, float, float, float]] = []
+
+    def show_text(raw: bytes):
+        nonlocal tm
+        text = raw.decode("latin-1")
+        for ch in text:
+            w_text = _glyph_width_millis(font, ch) / 1000.0 * size + tc
+            if ch == " ":
+                w_text += tw
+            else:
+                trm = _mat_mul(tm, ctm)
+                xa, ya = _apply(trm, 0.0, 0.0)
+                xb, yb = _apply(trm, w_text - tc, size)
+                chars.append(
                     {
-                        "page": c["page"], "text": " ",
-                        "x0": x, "y0": prev["y0"],
-                        "x1": x + advance, "y1": prev["y1"],
+                        "page": pageno, "text": ch,
+                        "x0": min(xa, xb), "y0": min(ya, yb),
+                        "x1": max(xa, xb), "y1": max(ya, yb),
+                        "fontname": fname, "ncolor": list(fill),
                     }
                 )
-                x += advance
-            group.append(c)
-        else:
-            yield group
-            group = [c]
-    if group:
-        yield group
+            tm = _mat_mul(_translate(w_text, 0.0), tm)
+
+    def flush_path(paint: str):
+        nonlocal path_rects
+        for rx, ry, rw, rh in path_rects:
+            xa, ya = _apply(ctm, rx, ry)
+            xb, yb = _apply(ctm, rx + rw, ry + rh)
+            x0, x1 = min(xa, xb), max(xa, xb)
+            y0, y1 = min(ya, yb), max(ya, yb)
+            if paint == "stroke":
+                # thin stroked rect = ruled line (centerline)
+                w_, h_ = x1 - x0, y1 - y0
+                lines.append(
+                    {
+                        "page": pageno,
+                        "x0": x0 + (w_ / 2 if w_ <= 1 else 0),
+                        "y0": y0 + (h_ / 2 if h_ <= 1 else 0),
+                        "x1": x1 - (w_ / 2 if w_ <= 1 else 0),
+                        "y1": y1 - (h_ / 2 if h_ <= 1 else 0),
+                    }
+                )
+            else:
+                rects.append(
+                    {
+                        "page": pageno, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+                        "non_stroking_color": list(fill),
+                    }
+                )
+        path_rects = []
+
+    for kind, val in _content_tokens(content):
+        if kind == "obj":
+            operands.append(val)
+            continue
+        op = val
+        try:
+            if op == "q":
+                gstack.append((ctm, fill))
+            elif op == "Q":
+                if gstack:
+                    ctm, fill = gstack.pop()
+            elif op == "cm" and len(operands) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
+            elif op == "BT":
+                tm = lm = _ID_MAT
+            elif op == "Tf" and len(operands) >= 2:
+                rname = str(operands[-2])
+                font = fonts.get(rname)
+                fname = font["basefont"] if font else rname
+                size = float(operands[-1])
+            elif op in ("Td", "TD") and len(operands) >= 2:
+                tx, ty = float(operands[-2]), float(operands[-1])
+                if op == "TD":
+                    leading = -ty
+                lm = _mat_mul(_translate(tx, ty), lm)
+                tm = lm
+            elif op == "TL" and operands:
+                leading = float(operands[-1])
+            elif op == "T*":
+                lm = _mat_mul(_translate(0.0, -leading), lm)
+                tm = lm
+            elif op == "Tm" and len(operands) >= 6:
+                tm = lm = tuple(float(v) for v in operands[-6:])
+            elif op == "Tc" and operands:
+                tc = float(operands[-1])
+            elif op == "Tw" and operands:
+                tw = float(operands[-1])
+            elif op == "Tj" and operands and isinstance(operands[-1], bytes):
+                show_text(operands[-1])
+            elif op == "'" and operands and isinstance(operands[-1], bytes):
+                lm = _mat_mul(_translate(0.0, -leading), lm)
+                tm = lm
+                show_text(operands[-1])
+            elif op == '"' and len(operands) >= 3:
+                tw, tc = float(operands[-3]), float(operands[-2])
+                lm = _mat_mul(_translate(0.0, -leading), lm)
+                tm = lm
+                show_text(operands[-1])
+            elif op == "TJ" and operands and isinstance(operands[-1], list):
+                for el in operands[-1]:
+                    if isinstance(el, bytes):
+                        show_text(el)
+                    elif isinstance(el, (int, float)):
+                        tm = _mat_mul(
+                            _translate(-float(el) / 1000.0 * size, 0.0), tm
+                        )
+            elif op == "rg" and len(operands) >= 3:
+                fill = tuple(float(v) for v in operands[-3:])
+            elif op == "g" and operands:
+                v = float(operands[-1])
+                fill = (v, v, v)
+            elif op == "re" and len(operands) >= 4:
+                rx, ry, rw, rh = (float(v) for v in operands[-4:])
+                path_rects.append((rx, ry, rw, rh))
+            elif op in ("S", "s"):
+                flush_path("stroke")
+            elif op in ("f", "F", "f*", "b", "B", "b*", "B*"):
+                flush_path("fill")
+            elif op == "n":
+                path_rects = []
+            elif op == "Do" and operands:
+                name = str(operands[-1])
+                if name in xobjects:
+                    xa, ya = _apply(ctm, 0.0, 0.0)
+                    xb, yb = _apply(ctm, 1.0, 1.0)
+                    figures.append(
+                        {
+                            "page": pageno,
+                            "x0": min(xa, xb), "y0": min(ya, yb),
+                            "x1": max(xa, xb), "y1": max(ya, yb),
+                        }
+                    )
+        except (TypeError, ValueError):
+            pass  # tolerate malformed operand lists, keep scanning
+        operands = []
 
 
-_OBJ_RE = re.compile(rb"(\d+) 0 obj(.*?)endobj", re.S)
-_MEDIABOX_RE = re.compile(
-    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
-)
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+) 0 R")
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+def _dest_payload(dest, resolve, page_index: dict[int, int]):
+    """/Dest value → ({"page","x","y"} | None, dest_name | None)."""
+    dest = resolve(dest)
+    if isinstance(dest, dict):  # action-style << /D [...] >>
+        dest = resolve(dest.get("D"))
+    if isinstance(dest, bytes):
+        return None, decode_pdf_string(dest)
+    if isinstance(dest, Name):
+        return None, str(dest)
+    if isinstance(dest, list) and dest:
+        pg = dest[0]
+        pageno = None
+        if isinstance(pg, Ref):
+            pageno = page_index.get(pg.num)
+        elif isinstance(pg, int):
+            pageno = pg + 1  # page INDEX form (remote dests)
+        if pageno is None:
+            return None, None
+        x = y = 0.0
+        if len(dest) >= 2 and str(dest[1]) == "XYZ":
+            if len(dest) >= 3 and isinstance(dest[2], (int, float)):
+                x = float(dest[2])
+            if len(dest) >= 4 and isinstance(dest[3], (int, float)):
+                y = float(dest[3])
+        return {"page": pageno, "x": x, "y": y}, None
+    return None, None
 
-# content-stream tokens:  number number Td | (string) Tj | /F1 n Tf |
-# r g b rg | x y w h re [fS]
-_TOKEN_RE = re.compile(
-    r"(?P<td>([\d.+-]+)\s+([\d.+-]+)\s+Td)"
-    r"|(?P<tf>/\w+\s+([\d.+-]+)\s+Tf)"
-    r"|(?P<tj>\(((?:[^()\\]|\\.)*)\)\s*Tj)"
-    r"|(?P<rg>([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+rg)"
-    r"|(?P<re>([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+re\s+(f|S))"
-)
+
+_INFO_TO_META = {v: k for k, v in _META_TO_INFO.items()}
 
 
 def parse_pdf(data: bytes) -> dict:
-    """PDF bytes → layout-payload dict (chars + lines + rects + pages).
+    """PDF bytes → layout-payload dict (chars/lines/rects/figures/
+    outline/annos/dests/meta/pages — the markup schema).
 
-    Tolerant scanning parser: object boundaries by regex (no xref
-    dependence), pages discovered via /Type /Page dicts in document
-    order (falling back to /Kids order when present).
-    """
+    Tolerant scanning parser: no xref dependence, objects discovered
+    sequentially, streams sliced by /Length. FlateDecode streams are
+    inflated; any OTHER filter on a needed stream raises ``ValueError``
+    so the document is a recorded parse failure (ADVICE r1)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF byte-stream")
-    objects: dict[int, bytes] = {
-        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
-    }
-    # page order: prefer the pages-tree /Kids order
-    page_nums: list[int] = []
-    for body in objects.values():
-        if b"/Type /Pages" in body or b"/Type/Pages" in body:
-            m = _KIDS_RE.search(body)
-            if m:
-                page_nums = [
-                    int(x) for x in re.findall(rb"(\d+) 0 R", m.group(1))
-                ]
-                break
-    if not page_nums:
-        page_nums = [
-            n
-            for n, body in sorted(objects.items())
-            if b"/Type /Page" in body and b"/Type /Pages" not in body
-        ]
+    objects = _scan_objects(data)
+    resolve = _Resolver(objects)
 
-    pages, chars, lines, rects = [], [], [], []
-    for idx, n in enumerate(page_nums, start=1):
-        body = objects.get(n, b"")
-        mb = _MEDIABOX_RE.search(body)
-        w = float(mb.group(3)) if mb else 612.0
-        h = float(mb.group(4)) if mb else 792.0
-        pages.append({"number": idx, "width": w, "height": h})
-        cm = _CONTENTS_RE.search(body)
-        if not cm:
-            continue
-        stream_obj = objects.get(int(cm.group(1)), b"")
-        sm = _STREAM_RE.search(stream_obj)
-        if not sm:
-            continue
-        content = sm.group(1).decode("latin-1")
+    # --- catalog via trailer /Root, falling back to a /Type /Catalog scan ---
+    catalog = None
+    tpos = data.rfind(b"trailer")
+    if tpos >= 0:
+        try:
+            tdict, _ = _parse_obj(data, tpos + 7)
+            catalog = resolve(tdict.get("Root"))
+            info = resolve(tdict.get("Info"))
+        except ValueError:
+            catalog, info = None, None
+    else:
+        info = None
+    if not isinstance(catalog, dict):
+        catalog = next(
+            (
+                v for v in objects.values()
+                if isinstance(v, dict) and str(v.get("Type")) == "Catalog"
+            ),
+            None,
+        )
+        info = None
+    if catalog is None:
+        raise ValueError("no /Catalog found in PDF")
 
-        x = y = 0.0
-        size = 10.0
-        color = (0.0, 0.0, 0.0)
-        for m in _TOKEN_RE.finditer(content):
-            if m.group("td"):
-                x, y = float(m.group(2)), float(m.group(3))
-            elif m.group("tf"):
-                size = float(m.group(5))
-            elif m.group("tj"):
-                text = _unesc(m.group(7))
-                adv = COURIER_ADVANCE * size
-                cx = x
-                for ch in text:
-                    if ch != " ":
-                        chars.append(
-                            {
-                                "page": idx, "text": ch,
-                                "x0": cx, "y0": y,
-                                "x1": cx + adv, "y1": y + size,
-                                "fontname": "Courier", "ncolor": list(color),
-                            }
-                        )
-                    cx += adv
-            elif m.group("rg"):
-                color = (
-                    float(m.group(9)), float(m.group(10)), float(m.group(11))
+    # --- page tree walk with attribute inheritance ---
+    page_dicts: list[tuple[int, dict, tuple]] = []  # (objnum, dict, mediabox)
+
+    def walk_pages(node_ref, inherited_mb, inherited_res, depth=0):
+        if depth > 32:
+            return
+        node = resolve(node_ref)
+        if not isinstance(node, dict):
+            return
+        mb = node.get("MediaBox", inherited_mb)
+        res = node.get("Resources", inherited_res)
+        if str(node.get("Type")) == "Pages" or "Kids" in node:
+            for kid in resolve(node.get("Kids")) or []:
+                walk_pages(kid, mb, res, depth + 1)
+        else:
+            objnum = node_ref.num if isinstance(node_ref, Ref) else -1
+            node = dict(node)
+            node.setdefault("MediaBox", mb)
+            node.setdefault("Resources", res)
+            page_dicts.append((objnum, node, mb))
+
+    walk_pages(catalog.get("Pages"), None, None)
+    if not page_dicts:
+        raise ValueError("no pages found in PDF")
+    page_index = {objnum: i + 1 for i, (objnum, _, _) in enumerate(page_dicts)}
+
+    pages, chars, lines, rects, figures = [], [], [], [], []
+    for idx, (_, pd, _) in enumerate(page_dicts, start=1):
+        mb = [float(resolve(v)) for v in (resolve(pd.get("MediaBox")) or [0, 0, 612, 792])]
+        pages.append({"number": idx, "width": mb[2] - mb[0], "height": mb[3] - mb[1]})
+        res = resolve(pd.get("Resources")) or {}
+        fonts = _font_info(res, resolve)
+        xobjects = set((resolve(res.get("XObject")) or {}).keys())
+        contents = pd.get("Contents")
+        if contents is None:
+            continue
+        clist = resolve(contents)
+        clist = clist if isinstance(clist, list) else [contents]
+        body = b"\n".join(
+            _stream_bytes(stm)
+            for stm in (resolve(c) for c in clist)
+            if isinstance(stm, Stream)
+        )
+        _interpret_content(body, fonts, xobjects, idx, chars, lines, rects, figures)
+
+    # --- outline tree → flat (title, level, dest) list ---
+    outline: list[dict] = []
+    root = resolve(catalog.get("Outlines"))
+    if isinstance(root, dict):
+        seen: set[int] = set()
+
+        def walk_outline(first_ref, level):
+            node_ref = first_ref
+            while isinstance(node_ref, Ref) and node_ref.num not in seen:
+                seen.add(node_ref.num)
+                node = resolve(node_ref)
+                if not isinstance(node, dict):
+                    break
+                title_raw = resolve(node.get("Title"))
+                entry = {
+                    "title": decode_pdf_string(title_raw)
+                    if isinstance(title_raw, bytes)
+                    else str(title_raw or ""),
+                    "level": level,
+                }
+                d, name = _dest_payload(node.get("Dest") or node.get("A"), resolve, page_index)
+                if d:
+                    entry["dest"] = d
+                elif name:
+                    entry["dest_name"] = name
+                outline.append(entry)
+                if node.get("First"):
+                    walk_outline(node.get("First"), level + 1)
+                node_ref = node.get("Next")
+
+        walk_outline(root.get("First"), 1)
+
+    # --- link annotations ---
+    annos: list[dict] = []
+    for idx, (_, pd, _) in enumerate(page_dicts, start=1):
+        for aref in resolve(pd.get("Annots")) or []:
+            a = resolve(aref)
+            if not isinstance(a, dict) or str(a.get("Subtype")) != "Link":
+                continue
+            rect = [float(resolve(v)) for v in (resolve(a.get("Rect")) or [0, 0, 0, 0])]
+            entry: dict = {"page": idx, "rect": rect}
+            action = resolve(a.get("A"))
+            if isinstance(action, dict) and str(action.get("S")) == "URI":
+                uri = resolve(action.get("URI"))
+                entry["uri"] = (
+                    decode_pdf_string(uri) if isinstance(uri, bytes) else str(uri)
                 )
-            elif m.group("re"):
-                rx, ry = float(m.group(13)), float(m.group(14))
-                rw, rh = float(m.group(15)), float(m.group(16))
-                if m.group(17) == "S":
-                    # stroked thin rect = ruled line
-                    lines.append(
-                        {
-                            "page": idx,
-                            "x0": rx + (rw / 2 if rw <= 1 else 0),
-                            "y0": ry + (rh / 2 if rh <= 1 else 0),
-                            "x1": rx + rw - (rw / 2 if rw <= 1 else 0),
-                            "y1": ry + rh - (rh / 2 if rh <= 1 else 0),
-                        }
-                    )
-                else:
-                    rects.append(
-                        {
-                            "page": idx,
-                            "x0": rx, "y0": ry,
-                            "x1": rx + rw, "y1": ry + rh,
-                            "non_stroking_color": list(color),
-                        }
-                    )
+            else:
+                d, name = _dest_payload(a.get("Dest") or a.get("A"), resolve, page_index)
+                if d:
+                    entry["dest"] = d
+                elif name:
+                    entry["dest_name"] = name
+            annos.append(entry)
+
+    # --- named destinations (catalog /Dests dict) ---
+    dests: dict[str, dict] = {}
+    ddict = resolve(catalog.get("Dests"))
+    if isinstance(ddict, dict):
+        for name, val in ddict.items():
+            d, _ = _dest_payload(val, resolve, page_index)
+            if d:
+                dests[str(name)] = d
+
+    # --- /Info metadata (X4 decode chain on every string) ---
+    meta: dict[str, str] = {}
+    if isinstance(info, dict):
+        for k, v in info.items():
+            mk = _INFO_TO_META.get(str(k))
+            v = resolve(v)
+            if mk and isinstance(v, bytes):
+                meta[mk] = decode_pdf_string(v)
+            elif str(k) == "Trapped" and v is not None:
+                meta["trapped"] = str(v)
 
     return {
-        "meta": {},
+        "meta": meta,
         "pages": pages,
         "chars": chars,
-        "figures": [],
+        "figures": figures,
         "rects": rects,
         "lines": lines,
-        "outline": [],
-        "annos": [],
-        "dests": {},
+        "outline": outline,
+        "annos": annos,
+        "dests": dests,
     }

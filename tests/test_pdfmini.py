@@ -1,44 +1,61 @@
 """PDF byte-stream path: write_pdf → parse_pdf → the SAME kernel must
-produce the same extraction as the markup path."""
+produce the same extraction as the markup path.
+
+Round 2 widened the subset to the full fixture surface: multi-font
+text with per-font /Widths, FlateDecode compression, text color,
+image-XObject figures, outline tree (X4 title decode chain), link
+annotations, named destinations and /Info metadata — plus the
+operators foreign producers emit (Tm/TD/TL/T*/'/Tc/Tw, cm scaling,
+indirect /Length).
+"""
 
 from __future__ import annotations
+
+import zlib
 
 import pytest
 
 from libpdf_spark.config import DEFAULT_CONFIG
-from libpdf_spark.fixtures import FAMILIES
+from libpdf_spark.fixtures import FAMILIES, PDF_CAPABLE_FAMILIES
 from libpdf_spark.kernel.document import extract_document
 from libpdf_spark.payload import embed_pdf, find_payload
-from libpdf_spark.pdfmini import parse_pdf, write_pdf
+from libpdf_spark.pdfmini import decode_pdf_string, parse_pdf, write_pdf
 
-# families expressible in the mini-PDF subset (text + ruled lines +
-# colored rects; outline/annos/figures stay on the markup path)
-PDF_FAMILIES = [
-    "plain_paragraphs",
-    "multi_column",
-    "ruled_tables",
-    "merged_cells",
-    "rects_code",
-]
+# since round 2 every fixture family round-trips through the PDF path
+PDF_FAMILIES = sorted(FAMILIES)
+
+
+def test_every_family_is_pdf_capable():
+    assert PDF_CAPABLE_FAMILIES == set(FAMILIES)
 
 
 @pytest.mark.parametrize("family", PDF_FAMILIES)
-def test_pdf_roundtrip_matches_markup_path(family):
+@pytest.mark.parametrize("compress", [False, True], ids=["plain", "flate"])
+def test_pdf_roundtrip_matches_markup_path(family, compress):
     builder = FAMILIES[family]()
     markup_doc = builder.build()
-    pdf_bytes = write_pdf(markup_doc)
+    pdf_bytes = write_pdf(markup_doc, compress=compress)
     assert pdf_bytes.startswith(b"%PDF-1.4")
     assert pdf_bytes.rstrip().endswith(b"%%EOF")
+    if compress:
+        assert b"/Filter /FlateDecode" in pdf_bytes
 
     parsed = parse_pdf(pdf_bytes)
     via_pdf = extract_document(parsed, DEFAULT_CONFIG)
     via_markup = extract_document(markup_doc, DEFAULT_CONFIG)
 
     assert via_pdf.extracted_text == via_markup.extracted_text
-    got = [(e.kind, e.uid, e.page, e.text) for e in via_pdf.elements]
-    exp = [(e.kind, e.uid, e.page, e.text) for e in via_markup.elements]
+    got = [
+        (e.kind, e.uid, e.page, e.text, e.number, e.ncolor,
+         [(l.idx_start, l.idx_stop, l.target) for l in e.links])
+        for e in via_pdf.elements
+    ]
+    exp = [
+        (e.kind, e.uid, e.page, e.text, e.number, e.ncolor,
+         [(l.idx_start, l.idx_stop, l.target) for l in e.links])
+        for e in via_markup.elements
+    ]
     assert got == exp
-    # geometry parity too
     for a, b in zip(via_pdf.elements, via_markup.elements):
         for k in ("x0", "y0", "x1", "y1"):
             assert abs(getattr(a, k) - getattr(b, k)) < 0.51, (a.uid, k)
@@ -66,3 +83,109 @@ def test_corrupt_pdf_payload_raises():
         find_payload("<<<LIBPDF_PDF_B64>>>!!!notb64!!!<<<END_LIBPDF_PDF_B64>>>")
     with pytest.raises(ValueError):
         parse_pdf(b"not a pdf at all")
+
+
+def test_meta_info_roundtrip_with_unicode():
+    doc = FAMILIES["links"]().build()
+    doc["meta"] = {
+        "title": "Tïtle Ünïcode ↑",
+        "author": "Ann",
+        "creation_date": "D:20240102030405",
+        "trapped": "True",
+    }
+    meta = parse_pdf(write_pdf(doc))["meta"]
+    assert meta["title"] == "Tïtle Ünïcode ↑"  # UTF-16BE hex path
+    assert meta["author"] == "Ann"
+    assert meta["creation_date"] == "D:20240102030405"
+    assert meta["trapped"] == "True"
+
+
+def test_outline_title_x4_decode_chain():
+    # non-ASCII titles are written as <FEFF…> hex and must decode back
+    doc = FAMILIES["nested_chapters"]().build()
+    doc["outline"][0]["title"] = "Überblick — Teil 1"
+    out = parse_pdf(write_pdf(doc, compress=True))["outline"]
+    assert out[0]["title"] == "Überblick — Teil 1"
+    assert out[0]["level"] == 1 and out[0]["dest"]["page"] == 1
+
+
+def test_decode_pdf_string_chain():
+    # reference utils.py:72-84 semantics (X4)
+    assert decode_pdf_string(b"\xfe\xff\x00T\x00i") == "Ti"   # UTF-16BE BOM
+    assert decode_pdf_string("Tür".encode("utf-8")) == "Tür"  # UTF-8
+    assert decode_pdf_string(b"T\xfcr") == "Tür"              # latin-1 fallback
+
+
+# ---------------------------------------------------------------------------
+# foreign-producer constructs (not emitted by write_pdf)
+# ---------------------------------------------------------------------------
+
+
+def _foreign_pdf(content: bytes, filter_name: bytes = b"/FlateDecode") -> bytes:
+    """Hand-rolled PDF with indirect /Length, a compressed stream and a
+    width-table-less Helvetica (exercises the standard-14 fallback)."""
+    z = zlib.compress(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length 6 0 R /Filter " + filter_name + b" >>\nstream\n" + z
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        str(len(z)).encode(),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+FOREIGN_CONTENT = b"""BT /F1 12 Tf 1 0 0 1 100 700 Tm 14 TL (Hello) Tj T* (World) '
+0.5 Tc 100 -40 TD (Spaced) Tj ET
+q 2 0 0 2 10 10 cm 5 5 20 10 re f Q"""
+
+
+def test_foreign_operators_tm_tstar_quote_td_tc_cm():
+    d = parse_pdf(_foreign_pdf(FOREIGN_CONTENT))
+    chs = d["chars"]
+    ys = sorted({round(c["y0"], 1) for c in chs}, reverse=True)
+    # Tm puts Hello at 700; T* + the ' operator's own T* put World at
+    # 672 (two leading steps); TD is relative to the ' line → 632
+    assert ys == [700.0, 672.0, 632.0]
+    hello = sorted(
+        [c for c in chs if round(c["y0"], 1) == 700.0], key=lambda c: c["x0"]
+    )
+    assert hello[0]["x0"] == 100.0
+    # Helvetica AFM H=722/1000 at 12pt → next glyph at 100 + 8.664
+    assert abs(hello[1]["x0"] - 108.664) < 1e-6
+    spaced = sorted(
+        [c for c in chs if round(c["y0"], 1) == 632.0], key=lambda c: c["x0"]
+    )
+    assert abs(spaced[0]["x0"] - 200.0) < 1e-6
+    # rect under cm scale-2 + translate-10: (5,5,25,15) → (20,20,60,40)
+    r = d["rects"][0]
+    assert (r["x0"], r["y0"], r["x1"], r["y1"]) == (20.0, 20.0, 60.0, 40.0)
+
+
+def test_unsupported_filter_is_recorded_parse_failure():
+    # ADVICE r1 (medium): an unhandled filter must raise — a recorded
+    # parse failure — never parse_ok=true with silently-empty text
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        parse_pdf(_foreign_pdf(FOREIGN_CONTENT, filter_name=b"/LZWDecode"))
+
+
+def test_corrupt_flate_stream_raises():
+    pdf = _foreign_pdf(FOREIGN_CONTENT)
+    z = zlib.compress(FOREIGN_CONTENT)
+    with pytest.raises(ValueError, match="FlateDecode"):
+        parse_pdf(pdf.replace(z, b"X" * len(z)))
+
+
+def test_compressed_corpus_survives_find_payload():
+    builder = FAMILIES["full_features"]()
+    turn = embed_pdf(write_pdf(builder.build(), compress=True))
+    doc = find_payload(turn)
+    r = extract_document(doc, DEFAULT_CONFIG)
+    assert r.extracted_text == builder.expected_text()
