@@ -46,6 +46,78 @@ def crop_boxes(
     return build_boxes(chars.take(idx), cfg, char_index_base=idx)
 
 
+def crop_cell_box(
+    chars: CharArrays,
+    page: int,
+    bbox: tuple[float, float, float, float],
+    cfg: ExtractConfig,
+) -> Box | None:
+    """Single-textbox cell crop — exact ``lt_textbox_crop`` semantics
+    (``utils.py:547-582`` + ``assemble_to_lt_textlines``
+    ``utils.py:585-631``): the chars inside ``bbox`` are regrouped into
+    lines by an ABSOLUTE y-center tolerance (the reference passes
+    LA_PARAMS["line_overlap"] = 0.5 as plain points), comparing each
+    char to the PREVIOUS one in flatten order, with NO char_margin
+    column split; every line joins into ONE returned box.
+
+    This differs from :func:`crop_boxes`/``build_boxes`` (height-
+    relative tolerance + column splits): a wide in-cell horizontal gap
+    must stay one space-joined line here, and link scanning must see
+    every line — the reference returns one LTTextBoxHorizontal.
+    """
+    idx = np.where(chars_in_bbox_mask(chars, page, bbox))[0]
+    if len(idx) == 0:
+        return None
+    sub = chars.take(idx)
+    yc = (sub.y0 + sub.y1) * 0.5
+    order = np.lexsort((sub.x0, -yc))  # flatten order: top-down, then x
+    tol = cfg.line_overlap  # absolute points, reference quirk
+    lines: list[np.ndarray] = []
+    cur = [int(order[0])]
+    for k in range(1, len(order)):
+        i = int(order[k])
+        if abs(yc[i] - yc[cur[-1]]) < tol:
+            cur.append(i)
+        else:
+            lines.append(np.asarray(cur, dtype=np.int64))
+            cur = [i]
+    lines.append(np.asarray(cur, dtype=np.int64))
+    lines = [l[np.argsort(sub.x0[l], kind="stable")] for l in lines]
+
+    from libpdf_spark.kernel.layout import _uniform, assemble_line_text
+
+    text_parts: list[str] = []
+    all_idx: list[np.ndarray] = []
+    all_off: list[np.ndarray] = []
+    line_spans: list[tuple[int, int]] = []
+    cursor = 0
+    nchars = 0
+    for k, line in enumerate(lines):
+        ltext, loff = assemble_line_text(sub, line, cfg.word_margin)
+        if k > 0:
+            cursor += 1  # the "\n" separator
+        text_parts.append(ltext)
+        all_idx.append(idx[line])
+        all_off.append(loff + cursor)
+        line_spans.append((nchars, nchars + len(line)))
+        nchars += len(line)
+        cursor += len(ltext)
+    members = np.concatenate(lines)
+    return Box(
+        page=page,
+        x0=float(sub.x0.min()),
+        y0=float(sub.y0.min()),
+        x1=float(sub.x1.max()),
+        y1=float(sub.y1.max()),
+        text="\n".join(text_parts),
+        char_idx=np.concatenate(all_idx),
+        offsets=np.concatenate(all_off),
+        line_spans=line_spans,
+        fontname=_uniform(sub.fontname[members]),
+        ncolor=_uniform(sub.ncolor[members]),
+    )
+
+
 def crop_text(
     chars: CharArrays,
     page: int,

@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from libpdf_spark.config import ExtractConfig
-from libpdf_spark.kernel.geometry import bbox_contains, crop_boxes
+from libpdf_spark.kernel.geometry import bbox_contains, crop_cell_box
 from libpdf_spark.kernel.layout import CharArrays
 
 
@@ -243,16 +243,21 @@ def fill_cell_text(
     tables: list[Table], chars: CharArrays, cfg: ExtractConfig
 ) -> None:
     """Cell text via char crop of cell bbox + 5 pt (J5,
-    ``tables.py:237-263`` / ``cell_lttextbox_extraction``)."""
+    ``tables.py:237-263`` / ``cell_lttextbox_extraction``).
+
+    Uses :func:`crop_cell_box` — the reference's ``lt_textbox_crop``
+    regroup (absolute 0.5 pt y-center tolerance, no column split,
+    ONE box) so a wide in-cell gap stays a single space-joined line
+    and link scanning sees every line of the cell (ADVICE r1)."""
     off = cfg.cell_crop_offset
     for t in tables:
         for c in t.cells:
-            boxes = crop_boxes(
+            box = crop_cell_box(
                 chars,
                 t.page,
                 (c.x0 - off, c.y0 - off, c.x1 + off, c.y1 + off),
                 cfg,
             )
-            if boxes:
-                c.text = "\n".join(b.text for b in boxes)
-                c.box = boxes[0]
+            if box is not None:
+                c.text = box.text
+                c.box = box

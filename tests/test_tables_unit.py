@@ -75,3 +75,80 @@ def test_row_spanning_merge():
     assert set(cells) == {(1, 1), (1, 2), (2, 2)}
     merged = cells[(1, 1)]
     assert merged.y1 - merged.y0 == 40.0  # spans both rows
+
+
+# ---------------------------------------------------------------------------
+# cell-crop parity with the reference's lt_textbox_crop (ADVICE r1)
+# ---------------------------------------------------------------------------
+
+from libpdf_spark.kernel.layout import CharArrays
+from libpdf_spark.kernel.tables import fill_cell_text
+
+
+def _chars(specs, page=1, h=10.0, w=6.0):
+    """specs: list of (text, x0, y0) one-char entries on a 6x10 grid."""
+    return CharArrays.from_records(
+        [
+            dict(page=page, text=t, x0=x, y0=y, x1=x + w, y1=y + h,
+                 fontname="Mono", ncolor=(0.0, 0.0, 0.0))
+            for t, x, y in specs
+        ]
+    )
+
+
+def _one_cell_table(x0=50.0, y0=600.0, x1=350.0, y1=700.0):
+    lines = [
+        dict(page=1, x0=x0, x1=x0, y0=y0, y1=y1),
+        dict(page=1, x0=x1, x1=x1, y0=y0, y1=y1),
+        dict(page=1, x0=x0, x1=x1, y0=y0, y1=y0),
+        dict(page=1, x0=x0, x1=x1, y0=y1, y1=y1),
+    ]
+    tables = detect_tables(lines, 1, CFG)
+    assert len(tables) == 1 and len(tables[0].cells) == 1
+    return tables
+
+
+def test_wide_in_cell_gap_stays_one_line():
+    # "AB" then "CD" with a 120 pt gap — far beyond char_margin*width
+    # (6*6=36 pt): build_boxes would column-split into two boxes, but
+    # the reference's lt_textbox_crop keeps ONE y-grouped line joined
+    # with a space (tables.py:237-263, utils.py:547-631)
+    tables = _one_cell_table()
+    chars = _chars(
+        [("A", 60.0, 650.0), ("B", 66.0, 650.0),
+         ("C", 192.0, 650.0), ("D", 198.0, 650.0)]
+    )
+    fill_cell_text(tables, chars, CFG)
+    cell = tables[0].cells[0]
+    assert cell.text == "AB CD"          # NOT "AB\nCD"
+    assert len(cell.box.line_spans) == 1
+
+
+def test_multiline_cell_keeps_all_lines_in_one_box():
+    # two physical lines -> "\n"-joined, and the SINGLE returned box
+    # carries both lines' char indices (links on line 2 must be
+    # scannable — previously only boxes[0] was kept)
+    tables = _one_cell_table()
+    line1 = [(c, 60.0 + 6.0 * i, 660.0) for i, c in enumerate("Henry")]
+    line2 = [(c, 60.0 + 6.0 * i, 646.0) for i, c in enumerate("cavill")]
+    chars = _chars(line1 + line2)
+    fill_cell_text(tables, chars, CFG)
+    cell = tables[0].cells[0]
+    assert cell.text == "Henry\ncavill"
+    assert len(cell.box.line_spans) == 2
+    assert len(cell.box.char_idx) == 11  # every char of both lines
+
+
+def test_sub_tolerance_baseline_jitter_groups_one_line():
+    # y-centers 0.4 pt apart (< 0.5 absolute tolerance) stay one line;
+    # 0.6 pt apart split — the ABSOLUTE tolerance, not height-relative
+    tables = _one_cell_table()
+    chars = _chars([("a", 60.0, 650.0), ("b", 66.0, 650.4)])
+    fill_cell_text(tables, chars, CFG)
+    assert tables[0].cells[0].text == "ab"
+
+    tables = _one_cell_table()
+    chars = _chars([("a", 60.0, 650.0), ("b", 66.0, 650.6)])
+    fill_cell_text(tables, chars, CFG)
+    # split into two lines, top-down: "b" sits 0.6 pt higher
+    assert tables[0].cells[0].text == "b\na"
