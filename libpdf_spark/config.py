@@ -63,6 +63,12 @@ class ExtractConfig:
     no_rects: bool = False
     no_annotations: bool = False
 
+    # --- word/line tree retention (horizontal_box.py:50-147) ---
+    # when on, every box-backed element carries its word/line tree with
+    # uniform ncolor/fontname lift per level (test_word_colors surface);
+    # off by default: the tree fattens the hot extraction path ~2×
+    keep_words: bool = False
+
     # --- page-range pruning ("3-5,7") — core.py:536-553 ---
     pages: tuple = field(default=(), hash=False)  # empty = all pages
 

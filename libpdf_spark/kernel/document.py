@@ -84,6 +84,9 @@ class DocElement:
     box: Box | None = None
     outline_node: object = None  # chapters only
     children: list = field(default_factory=list)
+    # word/line tree (cfg.keep_words; horizontal_box.py:50-147)
+    words: list[dict] | None = None
+    tlines: list[dict] | None = None
 
     @property
     def bbox(self):
@@ -293,6 +296,25 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
                     box=c.box,
                 )
                 final.append(cell_el)
+
+    # --- word/line tree with per-level attr lift (cfg.keep_words) ---
+    if cfg.keep_words:
+        from libpdf_spark.kernel.layout import box_words_lines
+
+        for el in final:
+            el_boxes = getattr(el, "_chapter_boxes", None) or (
+                [el.box] if el.box is not None else []
+            )
+            if not el_boxes:
+                continue
+            el.words, el.tlines = [], []
+            for b in el_boxes:
+                ws, ls = box_words_lines(chars, b, cfg.word_margin)
+                base = len(el.tlines)
+                for w in ws:
+                    w["line"] += base
+                el.words.extend(ws)
+                el.tlines.extend(ls)
 
     # --- links: scan sources (J7) then resolve targets (J8) ---
     annos_by_page: dict[int, list[dict]] = {}

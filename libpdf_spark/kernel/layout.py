@@ -438,6 +438,62 @@ def build_boxes(
     return [boxes[i] for i in order]
 
 
+def box_words_lines(
+    chars: CharArrays, box: Box, word_margin: float
+) -> tuple[list[dict], list[dict]]:
+    """Word/line tree of an assembled box with uniform attr lift at
+    EACH level (reference ``models/horizontal_box.py:50-147``): a word
+    lifts ncolor/fontname iff identical across its chars, a line iff
+    identical across its words, mirroring the Word/HorizontalLine
+    constructors the reference's ``tests/test_word_colors.py`` asserts.
+
+    Word boundaries re-use the assembly rule (gap > word_margin ×
+    char width). Returns ``(words, lines)``; each word carries its
+    0-based ``line`` index so the tree is recoverable downstream.
+    """
+    words: list[dict] = []
+    lines: list[dict] = []
+    for li, (a, b) in enumerate(box.line_spans):
+        idx = box.char_idx[a:b]  # document-level indices, x-ordered
+        n = len(idx)
+        x0s = chars.x0[idx]
+        x1s = chars.x1[idx]
+        widths = x1s - x0s
+        if n > 1:
+            gaps = x0s[1:] - x1s[:-1]
+            breaks = np.flatnonzero(gaps > word_margin * widths[1:]) + 1
+            segs = np.split(np.arange(n), breaks)
+        else:
+            segs = [np.arange(n)]
+        line_words: list[dict] = []
+        for seg in segs:
+            w_idx = idx[seg]
+            rec = {
+                "line": li,
+                "text": "".join(chars.text[w_idx].tolist()),
+                "x0": float(chars.x0[w_idx].min()),
+                "y0": float(chars.y0[w_idx].min()),
+                "x1": float(chars.x1[w_idx].max()),
+                "y1": float(chars.y1[w_idx].max()),
+                "fontname": _uniform(chars.fontname[w_idx]),
+                "ncolor": _uniform(chars.ncolor[w_idx]),
+            }
+            line_words.append(rec)
+            words.append(rec)
+        lines.append(
+            {
+                "text": " ".join(w["text"] for w in line_words),
+                "x0": min(w["x0"] for w in line_words),
+                "y0": min(w["y0"] for w in line_words),
+                "x1": max(w["x1"] for w in line_words),
+                "y1": max(w["y1"] for w in line_words),
+                "fontname": _uniform(w["fontname"] for w in line_words),
+                "ncolor": _uniform(w["ncolor"] for w in line_words),
+            }
+        )
+    return words, lines
+
+
 def crop_mask(
     chars: CharArrays, page_w: float, page_h: float, cfg: ExtractConfig
 ) -> np.ndarray:

@@ -183,12 +183,70 @@ SQL_EXTRACT_ELEMENT_STATS = (
 )
 
 
+def q_extract_words(spark, sf_dir):
+    """Word-level surface (keep_words): run the extraction with the
+    word/line tree retained, explode ``elements.words`` and rebuild the
+    per-turn word stream — the DuckDB oracle re-derives it from
+    ``documents.text`` alone, value-hashing word order, count, and the
+    uniform-lift result (every fixture char is black, so every word
+    must lift ncolor = [0,0,0])."""
+    from pyspark.sql import functions as F
+
+    from libpdf_spark.pipeline import extract_turns
+
+    transcripts = transcripts_from_documents(spark, sf_dir)
+    out = extract_turns(transcripts, ExtractConfig(keep_words=True))
+    exploded = out.select(
+        "conv_id", "turn_idx", F.posexplode("elements").alias("epos", "e")
+    ).select(
+        "conv_id", "turn_idx", "epos",
+        F.posexplode("e.words").alias("wpos", "w"),
+    )
+    black = (
+        (F.col("w.ncolor.r") == 0.0)
+        & (F.col("w.ncolor.g") == 0.0)
+        & (F.col("w.ncolor.b") == 0.0)
+    )
+    return exploded.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n_words"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("epos", "wpos", F.col("w.text").alias("t"))
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                " ",
+            )
+        ).alias("words_md5"),
+        F.sum(black.cast("long")).alias("n_black"),
+    )
+
+
+SQL_EXTRACT_WORDS = (
+    _SQL_DOC_RECONSTRUCT
+    + """
+    SELECT printf('doc-conv-%06d', doc_id // 16) AS conv_id,
+           CAST(doc_id % 16 AS INT) AS turn_idx,
+           CAST(len(words) AS BIGINT) AS n_words,
+           md5(array_to_string(words, ' ')) AS words_md5,
+           CAST(len(words) AS BIGINT) AS n_black
+    FROM w
+"""
+)
+
+
 QUERIES = {
     "extract_documents": q_extract_documents,
     "extract_element_stats": q_extract_element_stats,
+    "extract_words": q_extract_words,
 }
 
 ORACLES: dict[str, str] = {
     "extract_documents": SQL_EXTRACT_DOCUMENTS,
     "extract_element_stats": SQL_EXTRACT_ELEMENT_STATS,
+    "extract_words": SQL_EXTRACT_WORDS,
 }

@@ -42,13 +42,32 @@ if TYPE_CHECKING:  # pragma: no cover
 # output schemas (DDL strings keep this module importable without a JVM)
 # ---------------------------------------------------------------------------
 
+# word/line ncolor is a struct<r,g,b>, NOT array<double> like the
+# element-level ncolor: an array here would nest three list levels
+# (elements → words → ncolor), and this environment's pyarrow
+# segfaults in toPandas when such a triple-nested list column is
+# all-empty (reproduced+bisected; struct nesting is unaffected).
+_WORD_DDL = (
+    "array<struct<line:int,text:string,"
+    "x0:double,y0:double,x1:double,y1:double,"
+    "fontname:string,ncolor:struct<r:double,g:double,b:double>>>"
+)
+_LINE_DDL = (
+    "array<struct<text:string,"
+    "x0:double,y0:double,x1:double,y1:double,"
+    "fontname:string,ncolor:struct<r:double,g:double,b:double>>>"
+)
 ELEMENT_DDL = (
     "array<struct<"
     "uid:string,kind:string,page:int,"
     "x0:double,y0:double,x1:double,y1:double,"
     "row:int,col:int,text:string,number:string,"
     "fontname:string,ncolor:array<double>,"
-    "links:array<struct<idx_start:int,idx_stop:int,target:string>>"
+    "links:array<struct<idx_start:int,idx_stop:int,target:string>>,"
+    # word/line tree (cfg.keep_words; empty arrays when disabled) —
+    # uniform ncolor/fontname lift per level, horizontal_box.py:50-147
+    f"words:{_WORD_DDL},"
+    f"lines:{_LINE_DDL}"
     ">>"
 )
 
@@ -58,6 +77,12 @@ EXTRACT_SCHEMA = (
     f"elements {ELEMENT_DDL}, "
     "n_elements int, n_chars int, n_pages int, bytes_in bigint"
 )
+
+
+def _rgb(color) -> dict | None:
+    if not color:
+        return None
+    return {"r": float(color[0]), "g": float(color[1]), "b": float(color[2])}
 
 
 def _element_rows(result) -> list[dict]:
@@ -85,6 +110,26 @@ def _element_rows(result) -> list[dict]:
                         "target": l.target,
                     }
                     for l in e.links
+                ],
+                "words": [
+                    {
+                        "line": w["line"], "text": w["text"],
+                        "x0": w["x0"], "y0": w["y0"],
+                        "x1": w["x1"], "y1": w["y1"],
+                        "fontname": w["fontname"],
+                        "ncolor": _rgb(w["ncolor"]),
+                    }
+                    for w in (e.words or [])
+                ],
+                "lines": [
+                    {
+                        "text": l["text"],
+                        "x0": l["x0"], "y0": l["y0"],
+                        "x1": l["x1"], "y1": l["y1"],
+                        "fontname": l["fontname"],
+                        "ncolor": _rgb(l["ncolor"]),
+                    }
+                    for l in (e.tlines or [])
                 ],
             }
         )
