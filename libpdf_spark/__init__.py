@@ -21,8 +21,8 @@ Reference semantics are cited per function as
 
 from libpdf_spark.config import ExtractConfig
 
-__all__ = ["ExtractConfig"]
-__version__ = "0.1.0"
+__all__ = ["ExtractConfig", "load", "load_corpus", "extract_turns", "EXTRACT_SCHEMA"]
+__version__ = "0.2.0"
 
 
 def __getattr__(name):  # lazy: keep the kernel importable without pyspark/JVM
@@ -30,4 +30,9 @@ def __getattr__(name):  # lazy: keep the kernel importable without pyspark/JVM
         from libpdf_spark import pipeline
 
         return getattr(pipeline, name)
+    if name in ("load", "load_corpus", "ApiObjects"):
+        # reference-compatible facade (core.py:171-262, apiobjects.py)
+        from libpdf_spark import api
+
+        return getattr(api, name)
     raise AttributeError(name)
