@@ -147,9 +147,18 @@ FOREIGN_CONTENT = b"""BT /F1 12 Tf 1 0 0 1 100 700 Tm 14 TL (Hello) Tj T* (World
 q 2 0 0 2 10 10 cm 5 5 20 10 re f Q"""
 
 
+def _char_rows(payload: dict) -> list[dict]:
+    """Columnar chars → row dicts (payload codec accepts both forms)."""
+    chs = payload["chars"]
+    if isinstance(chs, dict):
+        n = len(chs["page"])
+        return [{k: chs[k][i] for k in chs} for i in range(n)]
+    return chs
+
+
 def test_foreign_operators_tm_tstar_quote_td_tc_cm():
     d = parse_pdf(_foreign_pdf(FOREIGN_CONTENT))
-    chs = d["chars"]
+    chs = _char_rows(d)
     ys = sorted({round(c["y0"], 1) for c in chs}, reverse=True)
     # Tm puts Hello at 700; T* + the ' operator's own T* put World at
     # 672 (two leading steps); TD is relative to the ' line → 632
