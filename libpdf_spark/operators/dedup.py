@@ -282,6 +282,105 @@ def _sql_minhash_lsh():
     )
 
 
+# --- near-dup clusters (connected components over LSH pairs) -----------------------
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the
+    MinHash-LSH candidate-pair graph — the step that turns pairs into
+    keep/drop decisions for a training pipeline. ``cluster_id`` is the
+    minimum doc_id of the component; the survivor is that doc.
+
+    Distributed algorithm: iterative min-label propagation (each round
+    one equi-join on dst + one map-side-combinable min-agg; rounds =
+    graph diameter, which for near-dup clusters is tiny). The driver
+    only checks a convergence scalar per round. At web scale you'd
+    swap in alternating large/small-star (Kiveris et al.) — same join
+    shape, fewer rounds on long chains.
+
+    Oracle: DuckDB recursive CTE computing transitive min-label
+    reachability over the identical pair set.
+    """
+    F = _F()
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    while True:
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "doc_id")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    from pyspark.sql import Window
+
+    w_size = F.count("*").over(Window.partitionBy("label"))
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        w_size.alias("cluster_size"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+def _sql_dedup_clusters():
+    # the LSH pair set verbatim (as a nested subquery CTE), then
+    # transitive min-label reachability; RECURSIVE sits on the OUTER with
+    return (
+        "    WITH RECURSIVE pairs AS (\n"
+        + _sql_minhash_lsh()
+        + """
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS doc_id FROM edges
+    ), reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ), comp AS (
+      SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_survivor
+    FROM comp
+"""
+    )
+
+
 # --- SimHash ----------------------------------------------------------------------
 SIMHASH_BITS = 16
 
@@ -343,6 +442,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
 }
 
@@ -351,5 +451,6 @@ ORACLES = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "minhash_signatures": _sql_minhash(),
     "dedup_minhash_lsh": _sql_minhash_lsh(),
+    "dedup_clusters": _sql_dedup_clusters(),
     "simhash": _simhash_sql("duckdb"),
 }

@@ -242,14 +242,156 @@ SQL_NEAR_DUP = f"""
 """
 
 
+# --- IVF-flat ANN -------------------------------------------------------------
+IVF_K = 16       # coarse cells
+IVF_NPROBE = 4   # cells probed per query
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k: the second scale path next to
+    sign-LSH. Coarse cells = ``IVF_K`` deterministic seed vectors
+    (vec_id N_QUERIES..N_QUERIES+K-1 — a data-sampled coarse quantizer
+    with no iterative training, so both engines derive the identical
+    index); every vector is assigned to its nearest cell by EXACT
+    integer distance (argmin of |c|² − 2·v·c; ties → lowest cell id);
+    each query probes its ``IVF_NPROBE`` nearest cells and runs exact
+    cosine only inside them.
+
+    Scale posture: assignment is a broadcast crossJoin with K small
+    plus a map-side-combinable min-struct aggregation (no window
+    shuffle); the probe is an equi-join on cell id, scanning ~NPROBE/K
+    of the corpus per query instead of all of it.
+
+    Recall caveat (measured, honest): the synthetic embeddings are
+    near-orthogonal by construction, so there is no cluster structure
+    for the coarse quantizer to exploit and recall@k ≈ NPROBE/K (~0.4
+    at sf0.01). On real clustered embeddings IVF recall is far higher;
+    what the oracle verifies here is the operator CONTRACT — identical
+    index, identical probe set, exact ranking within probed cells.
+    """
+    F = _F()
+    from pyspark.sql import Window
+
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", _quantize("embedding").alias("qe")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce"))
+    # dist² ranking needs only |c|² − 2·v·c (|v|² is constant per vector)
+    score = _idot(F.col("ce"), F.col("ce")) - 2 * _idot(F.col("qe"), F.col("ce"))
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn("score", score)
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("score", "cent_id")).alias("m"))
+        .select("vec_id", F.col("m.cent_id").alias("cell"))
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn(
+            "prb",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("score", "cent_id")
+            ),
+        )
+        .filter(F.col("prb") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("qe").alias("q_emb"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .join(emb, "vec_id")
+        .select("q_id", "q_emb", "vec_id", "qe")
+    )
+    dot = _idot(F.col("qe"), F.col("q_emb"))
+    na2 = _idot(F.col("qe"), F.col("qe"))
+    nb2 = _idot(F.col("q_emb"), F.col("q_emb"))
+    ranked = (
+        cand.withColumn("dot", dot)
+        .withColumn("na2", na2)
+        .withColumn("nb2", nb2)
+        .withColumn(
+            "cos_raw",
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na2").cast("double"))
+                * F.sqrt(F.col("nb2").cast("double"))
+            ),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("cos_raw"), F.asc("vec_id")
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id", "vec_id", "dot", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _sql_ann_ivf() -> str:
+    return f"""
+    WITH qe AS (
+      SELECT vec_id, {_SQL_QUANT} AS qe FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, qe AS ce FROM qe
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_K}
+    ), scored AS (
+      SELECT v.vec_id, v.qe, c.cent_id,
+             CAST(list_dot_product(c.ce, c.ce) AS BIGINT)
+               - 2 * CAST(list_dot_product(v.qe, c.ce) AS BIGINT) AS score
+      FROM qe v CROSS JOIN cents c
+    ), assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score, cent_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, qe AS q_emb, cent_id AS cell FROM (
+        SELECT vec_id, qe, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score, cent_id) AS prb
+        FROM scored WHERE vec_id < {N_QUERIES}
+      ) WHERE prb <= {IVF_NPROBE}
+    ), cand AS (
+      SELECT p.q_id, p.q_emb, a.vec_id, v.qe
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN qe v ON v.vec_id = a.vec_id
+    ), ranked AS (
+      SELECT q_id, vec_id,
+             CAST(list_dot_product(qe, q_emb) AS BIGINT) AS dot,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY CAST(list_dot_product(qe, q_emb) AS DOUBLE)
+                        / (sqrt(CAST(list_dot_product(qe, qe) AS DOUBLE))
+                           * sqrt(CAST(list_dot_product(q_emb, q_emb) AS DOUBLE)))
+                        DESC, vec_id
+             ) AS rank
+      FROM cand
+    )
+    SELECT q_id, vec_id, dot, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_lsh_buckets": _sql_ann_lsh(),
+    "ann_ivf_topk": _sql_ann_ivf(),
     "embedding_near_dup": SQL_NEAR_DUP,
 }

@@ -79,3 +79,35 @@ def test_entry_smoke(spark):
     assert len(pdf) > 0
     assert pdf.parse_ok.all()
     assert (pdf.n_elements > 0).all()
+
+
+def test_ann_ivf_recall_floor(spark):
+    """IVF probes NPROBE/K of a near-orthogonal corpus → recall must
+    at least track the probed fraction (and self-hit rank 1 always)."""
+    from libpdf_spark.operators import similarity as S
+
+    ivf = S.QUERIES["ann_ivf_topk"](spark, SF_DIR).toPandas()
+    exact = S.QUERIES["cosine_topk"](spark, SF_DIR).toPandas()
+    a = set(map(tuple, ivf[["q_id", "vec_id"]].values))
+    b = set(map(tuple, exact[["q_id", "vec_id"]].values))
+    assert len(a & b) / len(b) >= S.IVF_NPROBE / S.IVF_K * 0.8
+    r1 = ivf[ivf["rank"] == 1]
+    assert (r1["q_id"] == r1["vec_id"]).all()  # self is its own NN
+
+
+def test_dedup_clusters_consistency(spark):
+    """Cluster invariants: every pair endpoint is labeled, labels are
+    component minima, survivors are exactly the per-cluster minima."""
+    from libpdf_spark.operators import dedup as D
+
+    pairs = D.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).toPandas()
+    clusters = D.QUERIES["dedup_clusters"](spark, SF_DIR).toPandas()
+    labeled = dict(zip(clusters.doc_id, clusters.cluster_id))
+    # both endpoints of every pair share a cluster
+    for a, b in pairs[["doc_a", "doc_b"]].values:
+        assert labeled[a] == labeled[b]
+    # cluster_id is the min member; exactly one survivor per cluster
+    g = clusters.groupby("cluster_id")
+    assert (g.doc_id.min() == g.doc_id.min().index).all()
+    assert (clusters.groupby("cluster_id").is_survivor.sum() == 1).all()
+    assert (g.doc_id.size() == g.cluster_size.first()).all()
