@@ -301,8 +301,10 @@ def q_ann_ivf_topk(spark, sf_dir):
             F.col("cent_id").alias("cell"),
         )
     )
+    # probes is Q×NPROBE rows — broadcast it so the cell join is
+    # map-side (no shuffle of the corpus-sized assign table)
     cand = (
-        probes.join(assign, "cell")
+        assign.join(F.broadcast(probes), "cell")
         .join(emb, "vec_id")
         .select("q_id", "q_emb", "vec_id", "qe")
     )
