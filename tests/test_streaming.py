@@ -44,3 +44,108 @@ def test_incremental_stream_extraction(spark):
     merged = got.merge(expected_text, on=["conv_id", "turn_idx"])
     assert len(merged) == len(expected_text)
     assert (merged.extracted_text_x == merged.extracted_text_y).all()
+
+
+def test_watermarked_window_metrics_drop_late_rows(spark):
+    """Append-mode watermark semantics across availableNow re-runs:
+    windows emit once when the watermark passes their end; rows later
+    than the allowance are dropped, never counted."""
+    import pandas as pd
+
+    base = "/tmp/libpdf_spark_test_wm"
+    shutil.rmtree(base, ignore_errors=True)
+    from libpdf_spark.streaming import run_windowed_metrics_once
+
+    def turns(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array(range(len(rows)), dtype="int32"),
+                "role": [r[2] for r in rows],
+                "text": ["x" * 10] * len(rows),
+                "tool": [None] * len(rows),
+                "ts": pd.to_datetime([r[1] for r in rows]),
+            }
+        )
+
+    # batch 1: events 10:00-10:05 (window 10:00) + one at 12:00 —
+    # max ts 12:00 → checkpointed watermark 11:30 after this trigger
+    b1 = turns(
+        [
+            ("c1", "2026-01-01 10:00", "user"),
+            ("c1", "2026-01-01 10:04", "user"),
+            ("c1", "2026-01-01 12:00", "tool"),
+        ]
+    )
+    # ONE file per arrival → one micro-batch per run (multiple files
+    # would advance the watermark between intra-run micro-batches)
+    spark.createDataFrame(b1).coalesce(1).write.mode("overwrite").parquet(f"{base}/in")
+    run_windowed_metrics_once(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    # availableNow ends with a no-data flush batch: the watermark has
+    # advanced to 11:30 (max 12:00 - 30 min), so the 10:00 window is
+    # already closed and emitted; 12:00's own window stays open
+    out1 = spark.read.parquet(f"{base}/out").toPandas()
+    assert len(out1) == 1
+    assert int(out1.turns.iloc[0]) == 2 and out1.role.iloc[0] == "user"
+
+    # batch 2: one LATE row at 10:01 (behind the 11:30 watermark →
+    # dropped) and one at 12:45 (advances the
+    # watermark to 12:15, past the 12:00 window's end)
+    b2 = turns(
+        [
+            ("c1", "2026-01-01 10:01", "user"),   # too late: dropped
+            ("c1", "2026-01-01 12:45", "tool"),
+        ]
+    )
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(f"{base}/in")
+    run_windowed_metrics_once(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    out2 = (
+        spark.read.parquet(f"{base}/out")
+        .toPandas()
+        .sort_values("win_start")
+        .reset_index(drop=True)
+    )
+    # the 10:00 window keeps the ORIGINAL 2 user turns only — the late
+    # 10:01 row was dropped by the watermark, and an already-emitted
+    # window is never re-emitted in append mode
+    w10 = out2[out2.win_start == pd.Timestamp("2026-01-01 10:00")]
+    assert len(w10) == 1
+    assert int(w10.turns.iloc[0]) == 2
+    assert w10.role.iloc[0] == "user"
+    # the 12:00 window closed in run 2 (watermark reached 12:00)
+    w12 = out2[out2.win_start == pd.Timestamp("2026-01-01 12:00")]
+    assert len(w12) == 1 and int(w12.turns.iloc[0]) == 1
+    assert w12.role.iloc[0] == "tool"
+    # nothing else emitted; the late event is counted nowhere
+    assert len(out2) == 2
+
+
+def test_stateful_conversation_totals_survive_restart(spark):
+    """applyInPandasWithState: per-conversation running totals persist
+    in the state store across availableNow invocations."""
+    base = "/tmp/libpdf_spark_test_state"
+    shutil.rmtree(base, ignore_errors=True)
+    from libpdf_spark.streaming import run_state_stream_once
+
+    t, _, _ = gen_transcripts(n_convs=4, seed=33)
+    convs = sorted(t.conv_id.unique())
+    first = t[t.conv_id.isin(convs[:2])]
+    spark.createDataFrame(first).write.mode("overwrite").parquet(f"{base}/in")
+    run_state_stream_once(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    out1 = spark.read.parquet(f"{base}/out").toPandas()
+    assert set(out1.conv_id) == set(convs[:2])
+    got1 = dict(zip(out1.conv_id, out1.n_turns))
+    exp1 = first.groupby("conv_id").size().to_dict()
+    assert got1 == exp1
+
+    # the SAME conversations send more turns; totals must accumulate
+    spark.createDataFrame(first).write.mode("append").parquet(f"{base}/in")
+    run_state_stream_once(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    out2 = spark.read.parquet(f"{base}/out").toPandas()
+    latest = out2.sort_values("n_turns").groupby("conv_id").last()
+    for conv, n in exp1.items():
+        assert int(latest.loc[conv, "n_turns"]) == 2 * n       # accumulated
+        assert int(latest.loc[conv, "batch_turns"]) == n       # this batch
+    # doc-bearing turn counting matches the corpus (doc_every markers)
+    n_docs_expected = first.text.str.contains("LIBPDF", regex=False).sum()
+    assert int(out1.n_docs.sum()) == n_docs_expected
