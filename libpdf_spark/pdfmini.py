@@ -104,6 +104,23 @@ def _pdf_string(s: str) -> str:
     return "<FEFF" + s.encode("utf-16-be").hex().upper() + ">"
 
 
+_NAME_SAFE = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "!$&'*+,-.:;=?@^_`|~"
+)
+
+
+def _pdf_name(s: str) -> str:
+    """Serialize a PDF name token: delimiters/whitespace/non-ASCII as
+    #xx hex escapes (PDF 32000 §7.3.5); the parser's _parse_name
+    reverses them."""
+    out = []
+    for b in str(s).encode("utf-8"):
+        c = chr(b)
+        out.append(c if c in _NAME_SAFE else f"#{b:02X}")
+    return "".join(out)
+
+
 def _num(v: float) -> str:
     out = f"{float(v):.4f}".rstrip("0").rstrip(".")
     return out if out not in ("", "-0") else "0"
@@ -159,7 +176,10 @@ def _parse_name(data: bytes, i: int):
         raw = re.sub(
             rb"#([0-9A-Fa-f]{2})", lambda g: bytes([int(g.group(1), 16)]), raw
         )
-    return Name(raw.decode("latin-1")), m.end()
+    try:
+        return Name(raw.decode("utf-8")), m.end()
+    except UnicodeDecodeError:
+        return Name(raw.decode("latin-1")), m.end()
 
 
 def _parse_lit_string(data: bytes, i: int):
@@ -410,7 +430,7 @@ def write_pdf(doc: dict, compress: bool = False) -> bytes:
     width_of: dict[str, dict[int, float]] = {}
     font_res: dict[str, tuple[str, int]] = {}
     for i, fn in enumerate(fontnames, start=1):
-        safe = re.sub(r"[^!-~]", "", fn) or "Courier"
+        safe = _pdf_name(fn) or "Courier"
         table = {
             code: observed[fn].get(code, float(font_width_millis(fn, chr(code))))
             for code in range(32, 127)
@@ -651,7 +671,7 @@ def write_pdf(doc: dict, compress: bool = False) -> bytes:
     dests_num = None
     if dests:
         entries = " ".join(
-            f"/{re.sub(r'[^!-~]', '', str(name))} {dest_str(d)}"
+            f"/{_pdf_name(name)} {dest_str(d)}"
             for name, d in sorted(dests.items())
         )
         dests_num = add(f"<< {entries} >>".encode())
@@ -664,7 +684,7 @@ def write_pdf(doc: dict, compress: bool = False) -> bytes:
         if meta.get(k) not in (None, "")
     ]
     if meta.get("trapped"):
-        info_parts.append(f"/Trapped /{re.sub(r'[^!-~]', '', str(meta['trapped']))}")
+        info_parts.append(f"/Trapped /{_pdf_name(meta['trapped'])}")
     if info_parts:
         info_num = add(f"<< {' '.join(info_parts)} >>".encode("latin-1", "replace"))
 

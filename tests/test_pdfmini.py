@@ -198,3 +198,16 @@ def test_compressed_corpus_survives_find_payload():
     doc = find_payload(turn)
     r = extract_document(doc, DEFAULT_CONFIG)
     assert r.extracted_text == builder.expected_text()
+
+
+def test_awkward_dest_names_roundtrip():
+    # PDF name tokens need #xx escapes for delimiters/whitespace/UTF-8;
+    # a dest name like "sec/1 (intro)" must survive write→parse intact
+    doc = FAMILIES["links"]().build()
+    doc["dests"]["sec/1 (intro)"] = {"page": 1, "x": 10.0, "y": 20.0}
+    doc["dests"]["über#2"] = {"page": 2, "x": 0.0, "y": 700.0}
+    doc["meta"] = {"trapped": "Unknown"}
+    parsed = parse_pdf(write_pdf(doc, compress=True))
+    assert parsed["dests"]["sec/1 (intro)"] == {"page": 1, "x": 10.0, "y": 20.0}
+    assert parsed["dests"]["über#2"] == {"page": 2, "x": 0.0, "y": 700.0}
+    assert parsed["meta"]["trapped"] == "Unknown"
