@@ -148,11 +148,228 @@ SQL_FINGERPRINT = r"""
 """
 
 
+# --- benchmark decontamination ----------------------------------------------------
+BENCH_DOC_MAX = 50   # doc_id < 50 plays the "held-out benchmark" set
+CONTAM_NGRAM = 8     # shared word-8-gram ⇒ contaminated
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    8-gram with the held-out set (doc_id < BENCH_DOC_MAX plays the
+    benchmark). The industry-standard n-gram-overlap check.
+
+    Scale posture: both sides explode to distinct md5(8-gram) keys and
+    meet in ONE equi-join on the gram hash (train side is the probe;
+    the benchmark side is small and broadcast); per-doc aggregation is
+    map-side-combinable. No all-pairs anything."""
+    F = _F()
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).filter(F.size("w") >= CONTAM_NGRAM)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - CONTAM_NGRAM),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at("w", i + k + 1)
+                                for k in range(CONTAM_NGRAM)
+                            ],
+                        )
+                    ),
+                )
+            )
+        ).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("doc_id") < BENCH_DOC_MAX)
+        .select("g")
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") >= BENCH_DOC_MAX)
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train_docs = docs.filter(F.col("doc_id") >= BENCH_DOC_MAX).select("doc_id")
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+_SQL_GRAMS = rf"""
+    WITH wd AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), eligible AS (
+      SELECT doc_id, w FROM wd WHERE len(w) >= {CONTAM_NGRAM}
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([
+               md5(array_to_string(w[i : i + {CONTAM_NGRAM} - 1], ' '))
+               for i in range(1, len(w) - {CONTAM_NGRAM} + 2)
+             ])) AS g
+      FROM eligible
+    )
+"""
+
+SQL_DECONTAMINATE = (
+    _SQL_GRAMS
+    + f"""
+    , bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {BENCH_DOC_MAX})
+    , hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM grams t JOIN bench USING (g)
+      WHERE t.doc_id >= {BENCH_DOC_MAX}
+      GROUP BY t.doc_id
+    )
+    SELECT e.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM eligible e LEFT JOIN hits h USING (doc_id)
+    WHERE e.doc_id >= {BENCH_DOC_MAX}
+"""
+)
+
+
+# --- deterministic stratified sampling ----------------------------------------------
+# per-stratum keep rates as md5-hex prefixes: lexicographic compare of
+# the hex digest is a uniform engine-portable coin (first hex char
+# < '4' = 25%, < '8' = 50%)
+SAMPLE_RATES = {"en": "4", "unk": "8"}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training mixes: strata
+    from the language-ID heuristic, per-stratum rates via an md5-hex
+    coin (reproducible across engines/runs/partitionings — no RNG
+    state anywhere). Output = the kept rows, value-oracled exactly."""
+    F = _F()
+    lang = q_langid(spark, sf_dir).select("doc_id", "lang_guess")
+    coin = F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string")))
+    rate = F.when(F.col("lang_guess") == "en", F.lit(SAMPLE_RATES["en"])).otherwise(
+        F.lit(SAMPLE_RATES["unk"])
+    )
+    return (
+        lang.withColumn("coin", coin)
+        .filter(F.col("coin") < rate)
+        .select("doc_id", F.col("lang_guess").alias("stratum"))
+    )
+
+
+SQL_SAMPLE_STRATIFIED = rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), lang AS (
+      SELECT doc_id,
+             CASE WHEN ROUND(len(list_filter(w, x -> list_contains({_STOP_SQL}, x))) / len(w), 6) >= 0.02
+                  THEN 'en' ELSE 'unk' END AS stratum
+      FROM t
+    )
+    SELECT doc_id, stratum
+    FROM lang
+    WHERE md5('sample|' || CAST(doc_id AS VARCHAR))
+          < (CASE stratum WHEN 'en' THEN '{SAMPLE_RATES["en"]}' ELSE '{SAMPLE_RATES["unk"]}' END)
+"""
+
+
+# --- composed clean-corpus filter ----------------------------------------------------
+QUALITY_MIN_WORDS = 20
+QUALITY_MAX_PUNCT_RATIO = 0.1
+
+
+def q_corpus_filter(spark, sf_dir):
+    """The composed keep/drop decision a training pipeline ships:
+    exact-dedup survivor ∧ not benchmark-contaminated ∧ quality floor
+    (≥ 20 words, punctuation ratio ≤ 0.1). One row per document with
+    the per-rule verdicts and the final ``keep`` — operator
+    COMPOSITION over the dedup/decontamination/quality tiers."""
+    F = _F()
+    from libpdf_spark.operators.dedup import q_dedup_exact
+
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w"), "text"
+    )
+    survivors = q_dedup_exact(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(True).alias("is_survivor")
+    )
+    contam = q_decontaminate(spark, sf_dir).select("doc_id", "contaminated")
+    n_words = F.size("w")
+    punct_ratio = F.length(F.regexp_replace("text", r"[^.!?,;]", "")) / F.length(
+        "text"
+    )
+    quality = docs.select(
+        "doc_id",
+        (
+            (n_words >= QUALITY_MIN_WORDS)
+            & (punct_ratio <= QUALITY_MAX_PUNCT_RATIO)
+        ).alias("quality_ok"),
+    )
+    out = (
+        quality.join(survivors, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("is_survivor", F.lit(False)).alias("is_survivor"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            "quality_ok",
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("is_survivor") & ~F.col("contaminated") & F.col("quality_ok"),
+    )
+
+
+SQL_CORPUS_FILTER = (
+    _SQL_GRAMS
+    + f"""
+    , bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < {BENCH_DOC_MAX})
+    , hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM grams t JOIN bench USING (g)
+      WHERE t.doc_id >= {BENCH_DOC_MAX}
+      GROUP BY t.doc_id
+    )
+    , survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id,
+           s.doc_id IS NOT NULL AS is_survivor,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated,
+           len(regexp_split_to_array(trim(d.text), '\\s+')) >= {QUALITY_MIN_WORDS}
+             AND LENGTH(regexp_replace(d.text, '[^.!?,;]', '', 'g'))
+                 / LENGTH(d.text) <= {QUALITY_MAX_PUNCT_RATIO} AS quality_ok,
+           (s.doc_id IS NOT NULL)
+             AND NOT (COALESCE(h.n_shared, 0) > 0)
+             AND (len(regexp_split_to_array(trim(d.text), '\\s+')) >= {QUALITY_MIN_WORDS}
+                  AND LENGTH(regexp_replace(d.text, '[^.!?,;]', '', 'g'))
+                      / LENGTH(d.text) <= {QUALITY_MAX_PUNCT_RATIO}) AS keep
+    FROM documents d
+    LEFT JOIN survivors s ON s.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+)
+
+
 QUERIES = {
     "langid": q_langid,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
+    "decontaminate": q_decontaminate,
+    "sample_stratified": q_sample_stratified,
+    "corpus_filter": q_corpus_filter,
 }
 
 ORACLES = {
@@ -160,4 +377,7 @@ ORACLES = {
     "quality_score": SQL_QUALITY,
     "token_count": SQL_TOKEN_COUNT,
     "fingerprint": SQL_FINGERPRINT,
+    "decontaminate": SQL_DECONTAMINATE,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "corpus_filter": SQL_CORPUS_FILTER,
 }
