@@ -270,6 +270,11 @@ def configure_session(builder, shuffle_partitions: int = 32, arrow_batch: int = 
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # zstd shuffle/broadcast compression: transcript payloads are
+        # fat compressible text, and the shuffle's memory-bus traffic
+        # is what caps the salted path at high core counts — measured
+        # 1.5× over lz4 on the salted extraction at local[32]
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
