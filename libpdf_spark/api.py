@@ -250,12 +250,18 @@ def load_corpus(
     spark,
     transcripts,
     num_partitions: int | None = None,
+    verbose: int = 1,
+    init_logging: bool = False,
     **kwargs,
 ) -> CorpusObjects:
     """Corpus tier: ``transcripts`` is a DataFrame or a parquet path;
-    same kwargs as :func:`load` (minus the local-only sinks)."""
+    same kwargs as :func:`load` (minus the local-only sinks —
+    ``verbose``/``init_logging`` are accepted and configure logging)."""
     from libpdf_spark.pipeline import extract_turns, read_transcripts
 
+    if init_logging:
+        logging.basicConfig(level=_VERBOSITY.get(verbose, logging.WARNING))
+        LOG.setLevel(_VERBOSITY.get(verbose, logging.WARNING))
     cfg = config_from_kwargs(**kwargs)
     if isinstance(transcripts, str):
         transcripts = read_transcripts(spark, transcripts)

@@ -195,3 +195,21 @@ def test_cli_jsonl_and_flags(pdf_path, tmp_path):
     assert r.returncode == 0, r.stderr
     rows = [json.loads(line) for line in out.read_text().splitlines()]
     assert rows and all(row["kind"] not in ("table", "cell") for row in rows)
+
+
+def test_load_corpus_dataframe_views(spark):
+    import pandas as pd
+
+    from libpdf_spark.fixtures import gen_transcripts
+
+    t, expected_text, _ = gen_transcripts(n_convs=4, seed=9)
+    corpus = __import__("libpdf_spark").load_corpus(
+        spark, spark.createDataFrame(t), verbose=0, keep_words=True
+    )
+    out = corpus.extracted.toPandas()
+    assert len(out) == len(t)
+    paras = corpus.flattened("paragraph").toPandas()
+    assert len(paras) > 0 and (paras.kind == "paragraph").all()
+    assert {"conv_id", "turn_idx", "uid", "text", "words"} <= set(paras.columns)
+    # keep_words flowed through: box-backed elements carry word arrays
+    assert paras.words.map(len).sum() > 0
