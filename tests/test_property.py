@@ -144,3 +144,67 @@ def test_parse_page_range_roundtrip(pages):
 
     spec = ",".join(str(p) for p in pages)
     assert parse_page_range(spec) == tuple(sorted(set(pages)))
+
+
+# ---------------------------------------------------------------------------
+# layout-kernel invariants
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(doc=grid_doc())
+def test_build_boxes_conserves_every_char(doc):
+    """Every input char lands in EXACTLY one box (char_idx partition),
+    and each box's text contains its glyphs in line order."""
+    import numpy as np
+
+    from libpdf_spark.config import ExtractConfig
+    from libpdf_spark.kernel.layout import CharArrays, build_boxes
+
+    chars = CharArrays.from_records(doc["chars"])
+    boxes = build_boxes(chars, ExtractConfig())
+    seen = np.concatenate([b.char_idx for b in boxes]) if boxes else np.array([])
+    assert sorted(seen.tolist()) == list(range(len(chars)))
+    for b in boxes:
+        # offsets index into text and recover each glyph verbatim
+        for idx, off in zip(b.char_idx, b.offsets):
+            assert b.text[off] == chars.text[idx]
+
+
+@settings(**SETTINGS)
+@given(doc=grid_doc())
+def test_words_lines_partition_box_chars(doc):
+    """The word/line tree re-partitions the box's chars exactly: word
+    texts concatenated per line equal the line text without spaces."""
+    from libpdf_spark.config import ExtractConfig
+    from libpdf_spark.kernel.layout import (
+        CharArrays,
+        box_words_lines,
+        build_boxes,
+    )
+
+    cfg = ExtractConfig()
+    chars = CharArrays.from_records(doc["chars"])
+    for b in build_boxes(chars, cfg):
+        words, lines = box_words_lines(chars, b, cfg.word_margin)
+        assert len(lines) == len(b.line_spans)
+        for li, line in enumerate(lines):
+            lw = [w["text"] for w in words if w["line"] == li]
+            assert "".join(lw) == line["text"].replace(" ", "")
+            assert line["text"] == " ".join(lw)
+
+
+@settings(**SETTINGS)
+@given(doc=grid_doc())
+def test_extraction_text_contains_all_glyphs(doc):
+    """extract_document output text = input glyphs + whitespace, and
+    every glyph count is preserved (no char invented or dropped)."""
+    from collections import Counter
+
+    from libpdf_spark.config import ExtractConfig
+    from libpdf_spark.kernel.document import extract_document
+
+    r = extract_document(doc, ExtractConfig())
+    got = Counter(c for c in r.extracted_text if not c.isspace())
+    exp = Counter(c["text"] for c in doc["chars"])
+    assert got == exp
