@@ -87,8 +87,13 @@ class CharArrays:
 
     @classmethod
     def from_payload(cls, chars) -> "CharArrays":
-        """Accept either encoding: list of row dicts or columnar dict."""
+        """Accept any payload encoding: row dicts, columnar dict, or
+        the v2 packed form (base64 buffers → ``np.frombuffer``)."""
         if isinstance(chars, dict):
+            if chars.get("v") == 2:
+                from libpdf_spark.payload import unpack_chars
+
+                return cls.from_columnar(unpack_chars(chars))
             return cls.from_columnar(chars)
         return cls.from_records(chars or [])
 

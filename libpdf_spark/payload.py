@@ -59,9 +59,9 @@ def to_columnar_chars(chars: list[dict]) -> dict:
 
     The row encoding costs ~120 JSON bytes per char (key repetition);
     columnar cuts payload size and parse time ~6×, which directly
-    reduces Arrow transfer + memory bandwidth in the hot path. Both
-    encodings are accepted on read (``chars`` as list = rows, as dict
-    = columns).
+    reduces Arrow transfer + memory bandwidth in the hot path. All
+    three encodings are accepted on read (``chars`` as list = rows, as
+    dict = columns, as dict with ``"v": 2`` = packed, below).
     """
     return {
         "page": [c["page"] for c in chars],
@@ -75,11 +75,113 @@ def to_columnar_chars(chars: list[dict]) -> dict:
     }
 
 
-def encode(doc: dict, columnar: bool = True) -> str:
-    """Compact-serialize a layout document for embedding in a turn."""
-    if columnar and isinstance(doc.get("chars"), list) and doc["chars"]:
+def _rle(values: list) -> list:
+    out: list[list] = []
+    for v in values:
+        if out and out[-1][0] == v:
+            out[-1][1] += 1
+        else:
+            out.append([v, 1])
+    return out
+
+
+def to_packed_chars(cols: dict) -> dict | None:
+    """Columnar chars → PACKED encoding (``"v": 2``): the hot decode
+    path. stdlib-json float parsing was 33 % of per-doc kernel time;
+    packed coordinates are base64 little-endian float64 buffers
+    (``np.frombuffer`` on read — exact, zero parse), glyphs concatenate
+    into one string, page numbers are a base64 int32 buffer, and
+    fontname/ncolor are run-length encoded (near-uniform in practice).
+
+    Returns ``None`` when the chars don't fit the packed contract
+    (any multi-char glyph) — the caller keeps the v1 columnar form.
+    """
+    import base64
+
+    import numpy as np
+
+    texts = cols["text"]
+    if any(len(t) != 1 for t in texts):
+        return None
+    n = len(texts)
+
+    def fpack(key: str) -> str:
+        return base64.b64encode(
+            np.asarray(cols[key], dtype="<f8").tobytes()
+        ).decode("ascii")
+
+    return {
+        "v": 2,
+        "n": n,
+        "page": base64.b64encode(
+            np.asarray(cols["page"], dtype="<i4").tobytes()
+        ).decode("ascii"),
+        "text": "".join(texts),
+        "x0": fpack("x0"), "y0": fpack("y0"),
+        "x1": fpack("x1"), "y1": fpack("y1"),
+        "fontname_rle": _rle(list(cols.get("fontname") or [None] * n)),
+        "ncolor_rle": _rle(
+            [list(c) if c else None for c in (cols.get("ncolor") or [None] * n)]
+        ),
+    }
+
+
+def rle_expand(rle: list, n: int) -> list:
+    out: list = []
+    for v, k in rle:
+        out.extend([v] * int(k))
+    if len(out) != n:
+        raise ValueError("corrupt RLE char attribute")
+    return out
+
+
+def unpack_chars(packed: dict) -> dict:
+    """PACKED (``"v": 2``) → plain columnar dict (lists)."""
+    import base64
+
+    import numpy as np
+
+    n = int(packed["n"])
+    text = packed["text"]
+    if len(text) != n:
+        raise ValueError("corrupt packed chars: text length mismatch")
+
+    def funpack(key: str) -> "np.ndarray":
+        buf = base64.b64decode(packed[key])
+        arr = np.frombuffer(buf, dtype="<f8")
+        if len(arr) != n:
+            raise ValueError(f"corrupt packed chars: {key} length mismatch")
+        return arr
+
+    pages = np.frombuffer(base64.b64decode(packed["page"]), dtype="<i4")
+    if len(pages) != n:
+        raise ValueError("corrupt packed chars: page length mismatch")
+    return {
+        "page": pages,
+        "text": list(text),
+        "x0": funpack("x0"), "y0": funpack("y0"),
+        "x1": funpack("x1"), "y1": funpack("y1"),
+        "fontname": rle_expand(packed.get("fontname_rle") or [[None, n]], n),
+        "ncolor": rle_expand(packed.get("ncolor_rle") or [[None, n]], n),
+    }
+
+
+def encode(doc: dict, columnar: bool = True, packed: bool = True) -> str:
+    """Compact-serialize a layout document for embedding in a turn.
+
+    ``packed=True`` (default) upgrades single-char-glyph columnar chars
+    to the v2 packed encoding — ~7× faster to decode than JSON float
+    arrays; falls back to v1 columnar automatically otherwise."""
+    chars = doc.get("chars")
+    if columnar and isinstance(chars, list) and chars:
         doc = dict(doc)
-        doc["chars"] = to_columnar_chars(doc["chars"])
+        doc["chars"] = to_columnar_chars(chars)
+        chars = doc["chars"]
+    if packed and isinstance(chars, dict) and "v" not in chars and chars.get("text"):
+        p = to_packed_chars(chars)
+        if p is not None:
+            doc = dict(doc)
+            doc["chars"] = p
     return json.dumps(doc, separators=(",", ":"), sort_keys=True)
 
 

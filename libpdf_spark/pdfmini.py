@@ -369,7 +369,11 @@ def _stream_bytes(stm: Stream) -> bytes:
 
 
 def _rows_from_chars(chars) -> list[dict]:
-    if isinstance(chars, dict):  # columnar → rows
+    if isinstance(chars, dict):  # columnar/packed → rows
+        if chars.get("v") == 2:
+            from libpdf_spark.payload import unpack_chars
+
+            chars = unpack_chars(chars)
         n = len(chars["page"])
         keys = [k for k in ("page", "text", "x0", "y0", "x1", "y1", "fontname", "ncolor") if k in chars]
         return [{k: chars[k][i] for k in keys} for i in range(n)]

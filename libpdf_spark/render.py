@@ -127,6 +127,10 @@ def _draw_payload(r: _Raster, doc: dict, page: int) -> None:
         if int(ln["page"]) == page:
             r.fill((ln["x0"], ln["y0"], ln["x1"], ln["y1"]), (0, 0, 0))
     chars = doc.get("chars")
+    if isinstance(chars, dict) and chars.get("v") == 2:
+        from libpdf_spark.payload import unpack_chars
+
+        chars = unpack_chars(chars)
     if isinstance(chars, dict):
         n = len(chars["page"])
         get = lambda k, i: (chars.get(k) or [None] * n)[i]  # noqa: E731

@@ -208,3 +208,41 @@ def test_extraction_text_contains_all_glyphs(doc):
     got = Counter(c for c in r.extracted_text if not c.isspace())
     exp = Counter(c["text"] for c in doc["chars"])
     assert got == exp
+
+
+@settings(**SETTINGS)
+@given(doc=grid_doc())
+def test_packed_payload_roundtrip_bit_exact(doc):
+    """v2 packed chars decode to EXACTLY the v1 columnar values
+    (float64 buffers round-trip bit-exact; glyphs/attrs verbatim)."""
+    from libpdf_spark.payload import (
+        to_columnar_chars,
+        to_packed_chars,
+        unpack_chars,
+    )
+
+    cols = to_columnar_chars(doc["chars"])
+    packed = to_packed_chars(cols)
+    assert packed is not None and packed["v"] == 2
+    back = unpack_chars(packed)
+    assert list(back["text"]) == cols["text"]
+    assert list(back["page"]) == cols["page"]
+    for k in ("x0", "y0", "x1", "y1"):
+        assert back[k].tolist() == cols[k]  # bit-exact, no rounding
+    assert back["fontname"] == cols["fontname"]
+    assert back["ncolor"] == [list(c) if c else None for c in cols["ncolor"]]
+
+
+def test_multichar_glyphs_fall_back_to_v1():
+    from libpdf_spark.payload import encode
+    import json
+
+    doc = {
+        "pages": [{"number": 1, "width": 612.0, "height": 792.0}],
+        "chars": [
+            {"page": 1, "text": "fi", "x0": 0.0, "y0": 0.0, "x1": 6.0, "y1": 10.0}
+        ],
+    }
+    out = json.loads(encode(doc))
+    assert "v" not in out["chars"]           # ligature → v1 columnar
+    assert out["chars"]["text"] == ["fi"]
