@@ -32,6 +32,13 @@ def _element_dict(el) -> dict:
             {"idx_start": l.idx_start, "idx_stop": l.idx_stop, "target": l.target}
             for l in el.links
         ]
+    if el.words:
+        out["words"] = [
+            {k: w[k] for k in ("line", "text", "x0", "y0", "x1", "y1")}
+            | {"fontname": w["fontname"],
+               "ncolor": list(w["ncolor"]) if w["ncolor"] else None}
+            for w in el.words
+        ]
     return out
 
 
@@ -65,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--visual-split-elements", action="store_true")
     ap.add_argument("--visual-debug-include-elements", nargs="*", default=None)
     ap.add_argument("--visual-debug-exclude-elements", nargs="*", default=None)
+    ap.add_argument(
+        "--keep-words", action="store_true",
+        help="retain the word/line tree (per-level ncolor/fontname lift)",
+    )
     args = ap.parse_args(argv)
 
     from libpdf_spark.api import load
@@ -88,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
         visual_split_elements=args.visual_split_elements,
         visual_debug_include_elements=args.visual_debug_include_elements,
         visual_debug_exclude_elements=args.visual_debug_exclude_elements,
+        keep_words=args.keep_words,
     )
     root = objects.root
     payload = {

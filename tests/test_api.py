@@ -213,3 +213,14 @@ def test_load_corpus_dataframe_views(spark):
     assert {"conv_id", "turn_idx", "uid", "text", "words"} <= set(paras.columns)
     # keep_words flowed through: box-backed elements carry word arrays
     assert paras.words.map(len).sum() > 0
+
+
+def test_cli_keep_words(pdf_path, tmp_path):
+    out = tmp_path / "w.json"
+    r = _run_cli(pdf_path, "-of", "json", "-o", str(out), "--keep-words")
+    assert r.returncode == 0, r.stderr
+    payload = json.loads(out.read_text())
+    wordy = [e for e in payload["elements"] if e.get("words")]
+    assert wordy
+    w = wordy[0]["words"][0]
+    assert {"line", "text", "x0", "fontname"} <= set(w)
