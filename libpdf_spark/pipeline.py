@@ -226,8 +226,18 @@ def extract_turns(
     salted: bool = True,
 ) -> "DataFrame":
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
-    results, one row per input turn (the flagship pipeline)."""
-    pruned = transcripts.select("conv_id", "turn_idx", "text", "tool")
+    results, one row per input turn (the flagship pipeline).
+
+    The ``tool`` column is optional: corpora that only carry ``text``
+    (single-field exports) extract identically — the probe order is
+    text first, tool second."""
+    from pyspark.sql import functions as F
+
+    cols = ["conv_id", "turn_idx", "text"]
+    if "tool" in transcripts.columns:
+        pruned = transcripts.select(*cols, "tool")
+    else:
+        pruned = transcripts.select(*cols, F.lit(None).cast("string").alias("tool"))
     # (page pruning happens inside the kernel via cfg.pages; turn-level
     # pruning — e.g. only tool turns carry documents — is the caller's)
     part = salted_repartition(pruned, cfg, num_partitions) if salted else pruned

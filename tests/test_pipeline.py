@@ -169,3 +169,21 @@ def test_salted_repartition_spreads_hot_conversation(spark):
     )
     # a single conv_id must land on >1 partition thanks to the salt
     assert len(counts) > 1, counts
+
+
+def test_transcripts_without_tool_column(spark):
+    """Single-field corpora (no `tool` column) extract identically."""
+    from libpdf_spark.fixtures import FAMILIES
+    from libpdf_spark.payload import embed
+
+    b = FAMILIES["plain_paragraphs"]()
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["nt1"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "text": [embed(b.build())],
+        }
+    )
+    out = extract_turns(spark.createDataFrame(pdf), ExtractConfig()).toPandas()
+    assert bool(out.loc[0, "parse_ok"])
+    assert out.loc[0, "extracted_text"] == b.expected_text()
