@@ -224,33 +224,35 @@ def _sql_minhash():
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """LSH candidate pairs: docs sharing any band bucket. At corpus
-    scale this replaces the all-pairs shingle join — the join key is
-    the band hash, so only probable near-dups collide.
+    """LSH candidate STAR edges: for every band bucket, one edge
+    (bucket-min doc_id → member doc_id) per member. At corpus scale
+    this replaces the all-pairs shingle join — the bucket key groups
+    only probable near-dups — AND bounds the per-bucket output at
+    O(m), where the classic intra-bucket self-join emits O(m²): one
+    boilerplate template duplicated 10⁶ times at 100 TB would emit
+    10¹² pairs from a single bucket, while the star form emits 10⁶
+    edges with the IDENTICAL connected components (every member is
+    directly linked to the bucket minimum), which is all the
+    downstream clustering (``dedup_clusters``) consumes.
 
-    Plan shape: ONE shingle→signature aggregation, persisted, then a
-    ``stack`` unpivot into (doc_id, bucket) and a self equi-join on
-    the bucket. (A naive union of N_BANDS projections re-runs the
-    signature pipeline 2·N_BANDS times — measured 6× slower.)"""
+    Plan shape: ONE shingle→signature aggregation, a ``stack``
+    unpivot into (doc_id, bucket) (a naive union of N_BANDS
+    projections re-runs the signature pipeline 2·N_BANDS times —
+    measured 6× slower), then a window-min over the bucket — a single
+    Exchange on the bucket key and NO join at all."""
     F = _F()
-    sig = q_minhash_signatures(spark, sf_dir).persist()
+    from pyspark.sql import Window
+
+    sig = q_minhash_signatures(spark, sf_dir)
     stack_expr = "stack({n}, {args}) as (bucket)".format(
         n=N_BANDS, args=", ".join(f"band{b}" for b in range(N_BANDS))
     )
     bands = sig.select("doc_id", F.expr(stack_expr))
-    a = bands.alias("a")
-    b_ = bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    star = bands.select(
+        F.min("doc_id").over(Window.partitionBy("bucket")).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
     )
+    return star.filter(F.col("doc_a") != F.col("doc_b")).distinct()
 
 
 def _sql_minhash_lsh():
@@ -274,10 +276,12 @@ def _sql_minhash_lsh():
       FROM sh GROUP BY doc_id
     ), bands AS (
       {union}
+    ), star AS (
+      SELECT MIN(doc_id) OVER (PARTITION BY bucket) AS doc_a,
+             doc_id AS doc_b
+      FROM bands
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    SELECT DISTINCT doc_a, doc_b FROM star WHERE doc_a <> doc_b
 """
     )
 

@@ -1,0 +1,59 @@
+"""Dedup operator unit tests beyond the oracle gate.
+
+The hot-bucket fixture is the scale regression test for the LSH
+candidate generator: a single duplicated boilerplate template (the
+common case at corpus scale) must produce O(m) candidate edges, not
+O(m²) pairs — the star-edge emission guarantees it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from libpdf_spark.operators import dedup as D
+
+N_DUP = 1000  # one viral template duplicated 1000× → ONE hot LSH bucket
+
+
+@pytest.fixture(scope="module")
+def hot_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("hotbucket")
+    template = (
+        "all rights reserved this boilerplate footer appears on every "
+        "page of the crawled site and is word for word identical"
+    )
+    rows = [(f"dup-{i:04d}", template) for i in range(N_DUP)]
+    rows += [
+        (f"uniq-{i}", f"genuinely distinct document number {i} "
+                      f"with its own words alpha{i} beta{i} gamma{i} "
+                      f"delta{i} epsilon{i} zeta{i}")
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows, "doc_id string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(base / "documents.parquet"))
+    return str(base)
+
+
+def test_hot_bucket_star_edges_linear(spark, hot_dir):
+    """1,000 identical docs share every band bucket; the candidate
+    output must be the 999 star edges (min-doc → member), NOT the
+    ~499,500 all-pairs — O(m) vs O(m²)."""
+    edges = D.QUERIES["dedup_minhash_lsh"](spark, hot_dir).toPandas()
+    dup = edges[edges.doc_b.str.startswith("dup-")]
+    assert len(dup) == N_DUP - 1
+    assert (dup.doc_a == "dup-0000").all()
+    # nothing links the unique docs to the template
+    assert not (edges.doc_a.str.startswith("uniq-") & edges.doc_b.str.startswith("dup-")).any()
+    assert not (edges.doc_a.str.startswith("dup-") & edges.doc_b.str.startswith("uniq-")).any()
+
+
+def test_hot_bucket_clusters_identical_components(spark, hot_dir):
+    """Connected components over the star edges: one cluster of all
+    1,000 duplicates, survivor = min doc_id."""
+    clusters = D.QUERIES["dedup_clusters"](spark, hot_dir).toPandas()
+    dup = clusters[clusters.doc_id.str.startswith("dup-")]
+    assert len(dup) == N_DUP
+    assert (dup.cluster_id == "dup-0000").all()
+    assert (dup.cluster_size == N_DUP).all()
+    assert dup[dup.is_survivor].doc_id.tolist() == ["dup-0000"]
