@@ -134,14 +134,19 @@ SQL_ROLLUP = """
 
 
 def q_approx_distinct_users(spark, sf_dir):
-    """approx_count_distinct next to the exact count — sketches differ
-    across engines, so the approx column has no oracle (rows-only);
-    the exact column is the cross-check."""
+    """approx_count_distinct as a BOUNDS oracle: HLL sketches are not
+    hash-reproducible across engines, so the hashable contract is
+    (exact count, |approx − exact| ≤ 2 %·exact). rsd = 0.01 → the 2 %
+    tolerance is ~2σ; measured error on the testdata is ≤ 0.67 % at
+    every SF (sf0.001/0.01/0.1), so the boolean is stable, and a
+    sketch regression (or a broken merge) flips it to false."""
     F = _F()
     ev = load(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", 0.01)
+    exact = F.countDistinct("user_id")
     return ev.agg(
-        F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= 0.02 * exact).alias("within_2pct"),
     )
 
 
@@ -160,5 +165,10 @@ ORACLES = {
     "identifier_sanitize": SQL_IDENT_SANITIZE,
     "text_slice": SQL_TEXT_SLICE,
     "rollup_counts": SQL_ROLLUP,
-    # approx_distinct_users: sketch-dependent → rows-only
+    # the sketch itself is engine-specific; the ORACLED contract is the
+    # exact count plus the within-tolerance flag (both deterministic)
+    "approx_distinct_users": (
+        "SELECT COUNT(DISTINCT user_id) AS exact_users, "
+        "TRUE AS within_2pct FROM events"
+    ),
 }
