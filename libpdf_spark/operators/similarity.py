@@ -184,23 +184,35 @@ def _sql_ann_lsh() -> str:
     return f"SELECT vec_id, label, CAST({expr} AS INT) AS bucket FROM embeddings"
 
 
-# testdata embeddings are near-orthogonal (max within-label cosine
-# ~0.47 at sf0.01); 0.35 keeps the check non-vacuous
+# testdata embeddings are near-orthogonal (max pairwise cosine ~0.46
+# at sf0.01); 0.35 keeps the check non-vacuous — 8 bucket-blocked
+# pairs survive at sf0.01 (587 bucket-candidate pairs from 124,750
+# total pairs: the blocking does 200× of the pruning, the exact
+# cosine the final verify)
 NEAR_DUP_COSINE = 0.35
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, blocked by ``label``
-    (the cluster id is the blocking key, so the self-join is an
-    equi-join on label — O(block²) not O(N²)); exact integer-quantized
-    cosine above the threshold. At corpus scale the blocking key comes
-    from the sign-LSH buckets (``ann_lsh_buckets``)."""
+    """Embedding-cosine near-duplicate pairs, blocked by the sign-LSH
+    bucket (``ann_lsh_buckets``): the self-join is an equi-join on the
+    8-bit bucket key — O(Σ bucket²) not O(N²), and the bucket key is
+    derived from the vectors themselves, so the plan is corpus-scale-
+    ready (no external label needed). Exact integer-quantized cosine
+    verifies candidates inside each bucket.
+
+    Recall caveat (same honesty as IVF): 8 hyperplane bits collide
+    with probability (1 − θ/π)⁸ — high-cosine pairs nearly always
+    collide, borderline ones may not; at corpus scale you raise recall
+    with multiple bands (exactly the MinHash-LSH banding in
+    ``dedup_minhash_lsh``), same plan shape."""
     F = _F()
+    buckets = q_ann_lsh_buckets(spark, sf_dir).select("vec_id", "bucket")
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
-        "vec_id", "label", _quantize("embedding").alias("qe")
+        "vec_id", _quantize("embedding").alias("qe")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    keyed = buckets.join(emb, "vec_id")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     dot = _idot(F.col("a.qe"), F.col("b.qe"))
     na2 = _idot(F.col("a.qe"), F.col("a.qe"))
     nb2 = _idot(F.col("b.qe"), F.col("b.qe"))
@@ -210,13 +222,13 @@ def q_embedding_near_dup(spark, sf_dir):
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            F.col("a.bucket").alias("bucket"),
             dot.alias("dot"),
             na2.alias("na2"),
             nb2.alias("nb2"),
@@ -227,15 +239,21 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
-SQL_NEAR_DUP = f"""
+def _sql_near_dup() -> str:
+    return f"""
     WITH qe AS (
-      SELECT vec_id, label, {_SQL_QUANT} AS qe FROM embeddings
+      SELECT vec_id, {_SQL_QUANT} AS qe FROM embeddings
+    ), buckets AS (
+      {_sql_ann_lsh()}
+    ), keyed AS (
+      SELECT b.vec_id, b.bucket, qe.qe
+      FROM buckets b JOIN qe ON qe.vec_id = b.vec_id
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
            CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot,
            CAST(list_dot_product(a.qe, a.qe) AS BIGINT) AS na2,
            CAST(list_dot_product(b.qe, b.qe) AS BIGINT) AS nb2
-    FROM qe a JOIN qe b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE CAST(list_dot_product(a.qe, b.qe) AS DOUBLE)
              / (sqrt(CAST(list_dot_product(a.qe, a.qe) AS DOUBLE))
                 * sqrt(CAST(list_dot_product(b.qe, b.qe) AS DOUBLE))) >= {NEAR_DUP_COSINE}
@@ -395,5 +413,5 @@ ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_lsh_buckets": _sql_ann_lsh(),
     "ann_ivf_topk": _sql_ann_ivf(),
-    "embedding_near_dup": SQL_NEAR_DUP,
+    "embedding_near_dup": _sql_near_dup(),
 }
