@@ -87,6 +87,44 @@ def cpu_capacity(procs: int) -> float:
     return best
 
 
+def _bus_burn(n_copies: int) -> int:
+    """Stream a 64 MB buffer back and forth — pure memory-bus traffic,
+    no compute, the plain-process analogue of local shuffle I/O."""
+    import numpy as np
+
+    buf = np.ones(64 * 1024 * 1024 // 8, dtype=np.float64)
+    out = np.empty_like(buf)
+    for _ in range(n_copies):
+        np.copyto(out, buf)
+        np.copyto(buf, out)
+    return n_copies
+
+
+def bus_capacity(procs: int) -> float:
+    """Measured aggregate memory-bus copy bandwidth (GB/s) of this
+    process's pinned core set under plain multiprocessing — the
+    SHUFFLE analogue of :func:`cpu_capacity`. A single-box "cluster"
+    routes every shuffled byte through one shared memory bus, so the
+    8→32-core bus-capacity ratio (typically ≈1, the bus is already
+    saturated at 8 streams) is the hardware ceiling for the
+    shuffle-bound fraction of any job — whereas a real 4N-executor
+    cluster is 4× machines whose aggregate shuffle bandwidth scales
+    with node count. Folding this into the normalization (Amdahl
+    decomposition in the parent) makes the salted path's one-box
+    ceiling a MEASURED quantity instead of an assertion."""
+    import multiprocessing as mp
+
+    per_proc = 8  # × 256 MB traffic per iteration = 2 GB per worker
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        with mp.Pool(procs) as pool:
+            pool.map(_bus_burn, [per_proc] * procs)
+        gb = procs * per_proc * 0.25  # 2 copies × 128 MB traffic each
+        best = max(best, gb / (time.time() - t0))
+    return best
+
+
 def make_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -132,20 +170,29 @@ def materialize_transcripts(
     )
     fix_pdf, _, _ = gen_transcripts(n_convs=100, seed=42)
     fix_part = spark.createDataFrame(fix_pdf)
-    corpus = docs_part.unionByName(fix_part).repartition(64)
+    # 96 output files = 3 task waves at local[32] for the map-side UDF
+    # stage (straggler smoothing without any input repartition)
+    corpus = docs_part.unionByName(fix_part).repartition(96)
     corpus.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).count()
 
 
-def run_extraction(spark, in_path: str, salted: bool = True) -> tuple[float, int]:
-    """Timed: read parquet → [salted repartition] → mapInPandas →
+def run_extraction(spark, in_path: str, mode: str = "salted") -> tuple[float, int]:
+    """Timed: read parquet → extraction plan per ``mode`` →
     noop-equivalent action (count of non-null results forces full
     materialization of every column we compute).
 
-    ``salted=False`` measures the shuffle-free variant: the UDF feeds
-    straight from the vectorized parquet→Arrow path (legitimate for
-    splittable columnar input with independent turns — measured 1.5×
-    at local[32]; the salt shuffle buys skew immunity, not speed)."""
+    * ``salted`` — the default pipeline plan (north-star config): UDF
+      on the scan splits, then the explicit salted conv_id
+      repartition of the extracted output (5× fewer shuffle bytes
+      than shuffling raw payloads; see ``pipeline.extract_turns``).
+    * ``salted_input`` — the legacy shape: salt-repartition the RAW
+      turns, then extract. Kept for A/B: it moves every payload byte
+      through the one-box memory bus, which is what the bus-capacity
+      probe quantifies.
+    * ``unsalted`` — shuffle-free scan→UDF: pure compute scaling
+      (legitimate for splittable columnar input with independent
+      turns; the salt buys skew immunity downstream, not speed)."""
     from pyspark.sql import functions as F
 
     from libpdf_spark.config import ExtractConfig
@@ -159,9 +206,10 @@ def run_extraction(spark, in_path: str, salted: bool = True) -> tuple[float, int
         df,
         ExtractConfig(),
         num_partitions=3 * spark.sparkContext.defaultParallelism
-        if salted
+        if mode != "unsalted"
         else None,
-        salted=salted,
+        salted=mode != "unsalted",
+        salt_stage="input" if mode == "salted_input" else "output",
     )
     # force full computation incl. elements array
     n = (
@@ -174,24 +222,31 @@ def run_extraction(spark, in_path: str, salted: bool = True) -> tuple[float, int
     return time.time() - t0, n
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark, trials: int = 3) -> tuple[dict[str, float], dict[str, list]]:
     """Steady-state timing: first execution pays JIT/codegen + parquet
-    footer warm-up (measured 7× inflation); we report the second run."""
+    footer warm-up (measured 7× inflation) — one untimed warm-up run,
+    then ``trials`` timed runs per query, INTERLEAVED round-robin
+    across queries so minute-scale host drift (measured 3× swings on
+    identical plans) decorrelates from query identity. Reported time
+    is the per-query min (steady-state capability); all trials ship in
+    the JSON so a regression can be told apart from a noisy draw."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    times = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        # drop intra-query persist() results — the timed run must pay
-        # the full recompute, not replay a warm cache
+    all_trials: dict[str, list] = {name: [] for name in HEADLINE}
+    for name in HEADLINE:  # warm-up pass (untimed)
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        # drop intra-query persist() results — timed runs must pay the
+        # full recompute, not replay a warm cache
         spark.catalog.clearCache()
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
-    return times
+    for _ in range(trials):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            all_trials[name].append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+    times = {name: min(ts) for name, ts in all_trials.items()}
+    return times, all_trials
 
 
 def bench_skew(spark) -> dict:
@@ -271,7 +326,7 @@ def main():
         spark.stop()
         return
     os.makedirs(WORK, exist_ok=True)
-    in_path = os.path.join(WORK, "transcripts")
+    in_path = os.path.join(WORK, "transcripts_v3")
 
     if "--scaling-level" in sys.argv:
         # child process: one parallelism level, one JVM, pinned cores
@@ -279,32 +334,25 @@ def main():
         in_path = sys.argv[sys.argv.index("--scaling-level") + 2]
         os.sched_setaffinity(0, set(sorted(os.sched_getaffinity(0))[:cpus]))
         capacity = cpu_capacity(cpus)
+        bus = bus_capacity(cpus)
         spark = make_session(cpus)
         run_extraction(spark, in_path)  # warm-up (JIT, page cache)
-        elapsed, n = run_extraction(spark, in_path)
-        e2, _ = run_extraction(spark, in_path)
-        elapsed = min(elapsed, e2)  # steady-state: JIT tail still decays
-        # shuffle-free variant: pure scan→UDF compute scaling (on a
-        # real 4N cluster shuffle bandwidth scales with node count;
-        # on one box it is a shared-memory-bus cost both levels fight
-        # over — measuring both separates the two effects)
-        eu1, _ = run_extraction(spark, in_path, salted=False)
-        eu2, _ = run_extraction(spark, in_path, salted=False)
-        eu = min(eu1, eu2)
-        print(
-            "SCALING_RESULT "
-            + json.dumps(
-                {
-                    "cpus": cpus,
-                    "sec": round(elapsed, 3),
-                    "turns": n,
-                    "turns_per_sec": round(n / elapsed, 1),
-                    "sec_unsalted": round(eu, 3),
-                    "turns_per_sec_unsalted": round(n / eu, 1),
-                    "cpu_capacity_units_per_sec": round(capacity, 1),
-                }
-            )
-        )
+        # three plan shapes, 2 trials each, mode-interleaved so host
+        # drift decorrelates from mode; keep each mode's best
+        modes = {"salted": "", "salted_input": "_salt_input", "unsalted": "_unsalted"}
+        best: dict[str, float] = {}
+        n = 0
+        for _ in range(2):
+            for mode in modes:
+                e, n = run_extraction(spark, in_path, mode)
+                best[mode] = min(best.get(mode, e), e)
+        result = {"cpus": cpus, "turns": n,
+                  "cpu_capacity_units_per_sec": round(capacity, 1),
+                  "bus_capacity_gb_per_sec": round(bus, 2)}
+        for mode, suffix in modes.items():
+            result[f"sec{suffix}"] = round(best[mode], 3)
+            result[f"turns_per_sec{suffix}"] = round(n / best[mode], 1)
+        print("SCALING_RESULT " + json.dumps(result))
         spark.stop()
         return
 
@@ -316,12 +364,19 @@ def main():
 
         replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "6"))
         text_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_REPEAT", "4"))
-        in_path = os.path.join(WORK, f"transcripts_x{replicate}_t{text_repeat}")
+        in_path = os.path.join(WORK, f"transcripts_v3_x{replicate}_t{text_repeat}")
         spark = make_session(CPUS)
         n_turns = materialize_transcripts(
             spark, in_path, replicate=replicate, text_repeat=text_repeat
         )
         spark.stop()
+
+        LEVEL_KEYS = (
+            "sec", "turns", "turns_per_sec",
+            "sec_salt_input", "turns_per_sec_salt_input",
+            "sec_unsalted", "turns_per_sec_unsalted",
+            "cpu_capacity_units_per_sec", "bus_capacity_gb_per_sec",
+        )
 
         def run_level(cpus: int) -> dict:
             # each level in its OWN subprocess: a shared py4j JVM would
@@ -337,17 +392,7 @@ def main():
             for line in proc.stdout.splitlines():
                 if line.startswith("SCALING_RESULT "):
                     r = json.loads(line[len("SCALING_RESULT "):])
-                    return {
-                        k: r[k]
-                        for k in (
-                            "sec",
-                            "turns",
-                            "turns_per_sec",
-                            "sec_unsalted",
-                            "turns_per_sec_unsalted",
-                            "cpu_capacity_units_per_sec",
-                        )
-                    }
+                    return {k: r[k] for k in LEVEL_KEYS}
             sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
             raise RuntimeError(f"scaling level {cpus} failed")
 
@@ -372,27 +417,43 @@ def main():
                 # 5.08 — impossible on 4× the cores — tanking the
                 # normalized efficiency for a reason that has nothing
                 # to do with the engine)
-                if r["turns_per_sec"] > cur["turns_per_sec"]:
-                    for k in ("sec", "turns", "turns_per_sec"):
-                        cur[k] = r[k]
-                if r["turns_per_sec_unsalted"] > cur["turns_per_sec_unsalted"]:
-                    for k in ("sec_unsalted", "turns_per_sec_unsalted"):
-                        cur[k] = r[k]
-                cur["cpu_capacity_units_per_sec"] = max(
-                    cur["cpu_capacity_units_per_sec"],
-                    r["cpu_capacity_units_per_sec"],
-                )
+                for mode_suffix in ("", "_salt_input", "_unsalted"):
+                    if (
+                        r[f"turns_per_sec{mode_suffix}"]
+                        > cur[f"turns_per_sec{mode_suffix}"]
+                    ):
+                        for k in (f"sec{mode_suffix}", f"turns_per_sec{mode_suffix}"):
+                            cur[k] = r[k]
+                for k in ("cpu_capacity_units_per_sec", "bus_capacity_gb_per_sec"):
+                    cur[k] = max(cur[k], r[k])
         base, big = results[8], results[CPUS]
-        speedup = big["turns_per_sec"] / base["turns_per_sec"]
-        speedup_u = (
-            big["turns_per_sec_unsalted"] / base["turns_per_sec_unsalted"]
-        )
-        eff = speedup / (CPUS / 8)
         hw_ratio = (
             big["cpu_capacity_units_per_sec"] / base["cpu_capacity_units_per_sec"]
         )
-        eff_hw = speedup / hw_ratio
-        eff_hw_u = speedup_u / hw_ratio
+        bus_ratio = (
+            big["bus_capacity_gb_per_sec"] / base["bus_capacity_gb_per_sec"]
+        )
+
+        def effs(suffix: str) -> tuple[float, float]:
+            sp = base[f"sec{suffix}"] / big[f"sec{suffix}"]
+            return sp / (CPUS / 8), sp / hw_ratio  # (raw, cpu-normalized)
+
+        eff, eff_hw = effs("")
+        eff_si, eff_hw_si = effs("_salt_input")
+        eff_u, eff_hw_u = effs("_unsalted")
+
+        # Amdahl decomposition with MEASURED capacities: compute time
+        # scales with the cpu-kernel capacity ratio, shuffle time with
+        # the memory-bus capacity ratio (per-level shuffle time =
+        # salted − shuffle-free wall, identical compute). The bus-aware
+        # efficiency is actual big-level wall vs the wall this box's
+        # measured hardware permits — the engine's share of the loss.
+        def bus_aware(suffix: str) -> float:
+            comp8 = base["sec_unsalted"]
+            shuf8 = max(0.0, base[f"sec{suffix}"] - comp8)
+            ideal_big = comp8 / hw_ratio + shuf8 / bus_ratio
+            return ideal_big / big[f"sec{suffix}"]
+
         out = {
             "metric": "extraction_scaling_efficiency",
             "value": round(eff_hw, 3),
@@ -401,11 +462,19 @@ def main():
             "turns": n_turns,
             "raw_efficiency_vs_ideal_4x": round(eff, 3),
             "hw_capacity_ratio_measured": round(hw_ratio, 3),
+            "bus_capacity_ratio_measured": round(bus_ratio, 3),
+            "salted_bus_aware_efficiency": round(bus_aware(""), 3),
+            # legacy input-stage salting (raw payloads through the one
+            # shared memory bus — kept as the A/B that motivated the
+            # output-stage default)
+            "salt_input_raw_efficiency": round(eff_si, 3),
+            "salt_input_normalized_efficiency": round(eff_hw_si, 3),
+            "salt_input_bus_aware_efficiency": round(bus_aware("_salt_input"), 3),
             # shuffle-free scan→UDF variant: compute scaling with the
             # single-box shuffle-bandwidth coupling removed (a real 4N
             # cluster scales shuffle bandwidth with node count)
             "unsalted_normalized_efficiency": round(eff_hw_u, 3),
-            "unsalted_raw_efficiency": round(speedup_u / (CPUS / 8), 3),
+            "unsalted_raw_efficiency": round(eff_u, 3),
             "levels": {str(k): v for k, v in results.items()},
         }
         print(json.dumps(out))
@@ -416,9 +485,14 @@ def main():
     spark = make_session(CPUS)
     n_turns = materialize_transcripts(spark, in_path)
     run_extraction(spark, in_path)  # warm-up
-    extract_sec, n = run_extraction(spark, in_path)
-    qtimes = bench_queries(spark)
+    ex_trials = []
+    for _ in range(3):
+        e, n = run_extraction(spark, in_path)
+        ex_trials.append(round(e, 3))
+    extract_sec = min(ex_trials)
+    qtimes, qtrials = bench_queries(spark)
     qtimes["extract_turns"] = round(extract_sec, 3)
+    qtrials["extract_turns"] = ex_trials
     total = round(sum(qtimes.values()), 3)
     print(
         json.dumps(
@@ -427,6 +501,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
+                "query_trials": qtrials,
                 "sf": SF_DIR,
                 "turns": n,
                 "turns_per_sec": round(n / extract_sec, 1),
@@ -449,46 +524,78 @@ def _write_md(out: dict) -> None:
         "",
         f"Input: `{out['sf']}`-derived corpus on tmpfs, {out['turns']} transcript",
         "turns (documents wrapped as layout payloads + fixture families).",
-        "Job: read parquet → salted repartition on conv_id → mapInPandas",
-        "extraction → aggregate. Timing: steady-state (min of 2 after warm-up).",
+        "Job: read parquet → mapInPandas extraction → explicit salted",
+        "repartition on conv_id (output stage — the default plan; see",
+        "`pipeline.extract_turns`) → aggregate. Timing: per mode, best of 2",
+        "mode-interleaved trials after warm-up, best-of across 2 process-level",
+        "trials (host drift decorrelated).",
         "",
-        "| parallelism | wall sec (salted) | turns/sec (salted) | turns/sec (shuffle-free) | measured hw capacity (extraction kernel, plain multiprocessing, docs/s) |",
-        "|---|---|---|---|---|",
+        "Three plan shapes are measured at each level:",
+        "",
+        "1. **salted (output stage — the pipeline default)**: UDF on the scan",
+        "   splits, salted conv_id exchange moves only the extracted output",
+        "   (measured 5.0× fewer zstd-compressed shuffle bytes than the raw",
+        "   payloads).",
+        "2. **salted_input (legacy A/B)**: salt-repartition the RAW turns,",
+        "   then extract — every payload byte crosses the one-box memory bus.",
+        "3. **shuffle-free**: scan→UDF only (no keyed exchange at all).",
+        "",
+        "| parallelism | t/s salted | t/s salted_input | t/s shuffle-free | cpu capacity (kernel docs/s, no Spark) | bus capacity (GB/s memcpy, no Spark) |",
+        "|---|---|---|---|---|---|",
     ]
     for k, v in out["levels"].items():
         lines.append(
-            f"| local[{k}] (pinned {k} cores) | {v['sec']} | {v['turns_per_sec']} "
+            f"| local[{k}] (pinned {k} cores) | {v['turns_per_sec']} "
+            f"| {v.get('turns_per_sec_salt_input', '—')} "
             f"| {v.get('turns_per_sec_unsalted', '—')} "
-            f"| {v['cpu_capacity_units_per_sec']:.3g} |"
+            f"| {v['cpu_capacity_units_per_sec']:.3g} "
+            f"| {v.get('bus_capacity_gb_per_sec', '—')} |"
         )
     lines += [
         "",
-        f"- raw speedup at {big // 8}× cores: "
-        f"{out['raw_efficiency_vs_ideal_4x'] * (big / 8):.2f}×"
-        f" → raw efficiency {out['raw_efficiency_vs_ideal_4x']} vs ideal 4×",
-        f"- measured hardware capacity ratio {big}c/8c: "
-        f"{out['hw_capacity_ratio_measured']} (not 4.0 — frequency boost /",
-        "  host overcommit inflates the 8-core level; a real 4N-executor",
-        "  cluster is 4× MACHINES with no shared frequency/memory budget)",
-        f"- **engine scaling efficiency normalized by measured hardware",
-        f"  capacity: {out['value']}** (target >= 0.8 per BASELINE.json)",
-        f"- shuffle-free scan→UDF variant (salting off — legitimate for",
-        "  splittable columnar input with independent turns): raw"
-        f" {out.get('unsalted_raw_efficiency', '—')},",
-        f"  **normalized {out.get('unsalted_normalized_efficiency', '—')}** —",
-        "  the delta to the salted number is the single-box shuffle-bandwidth",
-        "  coupling: both levels fight over ONE memory bus for shuffle I/O,",
-        "  whereas a real 4N-executor cluster scales shuffle bandwidth with",
-        "  node count. The salted path's value is skew immunity (see the",
-        "  skew-evidence section), not throughput.",
+        "Hardware calibration (both probes are plain multiprocessing on the",
+        "pinned core set — the ceiling ANY engine could reach at that level):",
         "",
-        "Both numbers are reported; the normalized one isolates what the",
-        "ENGINE loses to coordination/shuffle/stragglers — the quantity the",
-        "N-vs-4N criterion is about — from what this VM's shared hardware",
-        "takes away from ANY 32-way run of this computation: the last",
-        "column is the SAME extraction kernel under plain multiprocessing",
-        "(no Spark), best of 3 interleaved trials, i.e. the hardware",
-        "ceiling an ideal engine could reach at each level.",
+        f"- cpu capacity ratio {big}c/8c: {out['hw_capacity_ratio_measured']}",
+        "  (not 4.0 — frequency boost / host overcommit inflates the 8-core",
+        "  level; a real 4N-executor cluster is 4× MACHINES with no shared",
+        "  frequency or memory budget)",
+        f"- memory-bus copy bandwidth ratio {big}c/8c:",
+        f"  {out['bus_capacity_ratio_measured']} — the bus is already",
+        "  saturated at 8 streams, so the shuffle-bound fraction of ANY",
+        "  single-box job cannot speed up with cores; a real 4N cluster",
+        "  scales shuffle bandwidth with node count. This probe replaces the",
+        "  previously-asserted claim with a measurement.",
+        "",
+        "Efficiencies (speedup normalized by measured hardware ceilings;",
+        "gate: >= 0.8 per BASELINE.json):",
+        "",
+        "| plan | raw eff (vs ideal 4x) | cpu-normalized | bus-aware (Amdahl, measured capacities) |",
+        "|---|---|---|---|",
+        f"| **salted (default)** | {out['raw_efficiency_vs_ideal_4x']} "
+        f"| **{out['value']}** | {out['salted_bus_aware_efficiency']} |",
+        f"| salted_input (legacy) | {out['salt_input_raw_efficiency']} "
+        f"| {out['salt_input_normalized_efficiency']} "
+        f"| {out['salt_input_bus_aware_efficiency']} |",
+        f"| shuffle-free | {out['unsalted_raw_efficiency']} "
+        f"| {out['unsalted_normalized_efficiency']} | — |",
+        "",
+        "The bus-aware column is an Amdahl decomposition with MEASURED",
+        "capacities: per-level shuffle wall = salted − shuffle-free (same",
+        "compute); ideal big-level wall = compute·(cpu8/cpuBig) +",
+        "shuffle·(bus8/busBig); efficiency = ideal / actual. It answers",
+        "\"how close is the ENGINE to what this box's measured hardware",
+        "permits for this plan\" — the cpu-normalized column alone",
+        "under-credits any plan whose shuffle rides the saturated bus.",
+        "",
+        "The headline gate number is the DEFAULT plan's cpu-normalized",
+        f"efficiency: **{out['value']}**. The output-stage salting is what a",
+        "100 TB deployment runs: splittable columnar input distributes raw",
+        "bytes evenly by construction (byte-range splits, not key ranges),",
+        "and the explicit salted conv_id exchange — which defuses",
+        "long-conversation skew for stable writes and every downstream",
+        "keyed stage — moves the 5× smaller extracted output instead of raw",
+        "payloads.",
         "",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

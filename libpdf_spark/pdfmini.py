@@ -303,6 +303,42 @@ def _parse_dict(data: bytes, i: int):
 _OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+def _parse_body_at(data: bytes, i: int):
+    """Parse one object body starting just past its ``N G obj`` header;
+    returns (value-or-Stream, end offset)."""
+    val, j = _parse_obj(data, i)
+    j2 = _skip_ws(data, j)
+    if isinstance(val, dict) and data[j2 : j2 + 6] == b"stream":
+        s = j2 + 6
+        if data[s : s + 2] == b"\r\n":
+            s += 2
+        elif data[s : s + 1] == b"\n":
+            s += 1
+        length = val.get("Length")
+        if isinstance(length, int):
+            raw = data[s : s + length]
+            j = s + length
+        else:  # indirect /Length — tolerant fallback
+            e = data.find(b"endstream", s)
+            if e < 0:
+                raise ValueError("unterminated stream")
+            raw = data[s:e].rstrip(b"\r\n")
+            j = e
+        val = Stream(val, raw)
+    return val, j
+
+
+def _parse_indirect_at(data: bytes, pos: int):
+    """Parse the indirect object whose ``N G obj`` header sits at
+    ``pos`` (modulo leading whitespace); returns (num, value)."""
+    i = _skip_ws(data, pos)
+    m = _OBJ_HEADER_RE.match(data, i)
+    if not m:
+        raise ValueError(f"no object header at offset {pos}")
+    val, _ = _parse_body_at(data, m.end())
+    return int(m.group(1)), val
+
+
 def _scan_objects(data: bytes) -> dict[int, object]:
     """Sequential object scan: each object is parsed structurally and
     streams are sliced by /Length, so binary (compressed) stream bytes
@@ -315,25 +351,7 @@ def _scan_objects(data: bytes) -> dict[int, object]:
             break
         num = int(m.group(1))
         try:
-            val, j = _parse_obj(data, m.end())
-            j2 = _skip_ws(data, j)
-            if isinstance(val, dict) and data[j2 : j2 + 6] == b"stream":
-                s = j2 + 6
-                if data[s : s + 2] == b"\r\n":
-                    s += 2
-                elif data[s : s + 1] == b"\n":
-                    s += 1
-                length = val.get("Length")
-                if isinstance(length, int):
-                    raw = data[s : s + length]
-                    j = s + length
-                else:  # indirect /Length — tolerant fallback
-                    e = data.find(b"endstream", s)
-                    if e < 0:
-                        raise ValueError("unterminated stream")
-                    raw = data[s:e].rstrip(b"\r\n")
-                    j = e
-                val = Stream(val, raw)
+            val, j = _parse_body_at(data, m.end())
         except ValueError:
             j = m.end()  # skip the bad object, keep scanning
             val = None
@@ -341,6 +359,147 @@ def _scan_objects(data: bytes) -> dict[int, object]:
             objects[num] = val
         pos = max(j, m.end())
     return objects
+
+
+_XREF_SUBSEC_RE = re.compile(rb"(\d+)\s+(\d+)\s*")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s?\s?")
+
+
+def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict]:
+    """Authoritative object load driven by the cross-reference data at
+    ``startxref`` — classic ``xref`` tables AND PDF 1.5 xref STREAMS
+    (``/Type /XRef``: /W field-width decoding, /Index subsections,
+    optional FlateDecode + PNG predictors), following /Prev chains
+    across incremental updates (first-seen entry wins — newest update
+    is read first). Type-2 entries load their object from the owning
+    ``/Type /ObjStm`` object stream. Raises ``ValueError`` when the
+    xref data is missing or malformed; :func:`parse_pdf` then falls
+    back to the tolerant sequential scan."""
+    sx = data.rfind(b"startxref")
+    if sx < 0:
+        raise ValueError("no startxref")
+    m = re.match(rb"startxref\s+(\d+)", data[sx:])
+    if not m:
+        raise ValueError("bad startxref")
+    pos = int(m.group(1))
+    entries: dict[int, tuple[int, int, int]] = {}  # num → (type, f2, f3)
+    trailer: dict = {}
+    seen: set[int] = set()
+    while 0 <= pos < len(data) and pos not in seen:
+        seen.add(pos)
+        i = _skip_ws(data, pos)
+        if data[i : i + 4] == b"xref":
+            i += 4
+            while True:
+                i = _skip_ws(data, i)
+                if data[i : i + 7] == b"trailer":
+                    break
+                ms = _XREF_SUBSEC_RE.match(data, i)
+                if not ms:
+                    raise ValueError("bad xref subsection header")
+                start, count = int(ms.group(1)), int(ms.group(2))
+                i = ms.end()
+                for k in range(count):
+                    me = _XREF_ENTRY_RE.match(data, i)
+                    if not me:
+                        raise ValueError("bad xref entry")
+                    typ = 1 if me.group(3) == b"n" else 0
+                    entries.setdefault(
+                        start + k, (typ, int(me.group(1)), int(me.group(2)))
+                    )
+                    i = me.end()
+            tdict, _ = _parse_obj(data, i + 7)
+        else:
+            _, xstm = _parse_indirect_at(data, pos)
+            if not isinstance(xstm, Stream) or str(xstm.dict.get("Type")) != "XRef":
+                raise ValueError("startxref does not point at xref data")
+            tdict = xstm.dict
+            w = [int(v) for v in tdict.get("W") or []]
+            if len(w) < 3:
+                raise ValueError("bad /W in xref stream")
+            size = int(tdict.get("Size") or 0)
+            index = [int(v) for v in tdict.get("Index") or [0, size]]
+            raw = _stream_bytes(xstm)
+            rowlen = sum(w)
+            off = 0
+
+            def field(row: bytes, k: int) -> int:
+                s = sum(w[:k])
+                return int.from_bytes(row[s : s + w[k]], "big") if w[k] else (
+                    1 if k == 0 else 0
+                )
+
+            for si in range(0, len(index) - 1, 2):
+                start, count = index[si], index[si + 1]
+                for k in range(count):
+                    row = raw[off : off + rowlen]
+                    off += rowlen
+                    if len(row) < rowlen:
+                        raise ValueError("short xref stream")
+                    entries.setdefault(
+                        start + k, (field(row, 0), field(row, 1), field(row, 2))
+                    )
+        for key, val in tdict.items():
+            trailer.setdefault(key, val)
+        prev = tdict.get("Prev")
+        if not isinstance(prev, int):
+            break
+        pos = prev
+
+    objects: dict[int, object] = {}
+    in_streams: dict[int, list[int]] = {}  # objstm num → member nums
+    for num, (typ, f2, _) in sorted(entries.items()):
+        if typ == 1:
+            try:
+                hnum, val = _parse_indirect_at(data, f2)
+            except ValueError:
+                continue  # tolerate one bad entry
+            if hnum == num and val is not None:
+                objects[num] = val
+        elif typ == 2:
+            in_streams.setdefault(f2, []).append(num)
+    for snum in in_streams:
+        stm = objects.get(snum)
+        if isinstance(stm, Stream) and str(stm.dict.get("Type")) == "ObjStm":
+            _expand_objstm(stm, objects)
+    return objects, trailer
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row predictors (PDF 32000 §7.4.4.4, Predictor ≥ 10) —
+    foreign producers routinely predictor-encode xref streams."""
+    row = columns + 1
+    if len(data) % row:
+        raise ValueError("predictor data not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), row):
+        ft = data[r]
+        line = bytearray(data[r + 1 : r + row])
+        if ft == 1:  # Sub
+            for i in range(1, columns):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unsupported PNG predictor row filter {ft}")
+        out += line
+        prev = line
+    return bytes(out)
 
 
 def _stream_bytes(stm: Stream) -> bytes:
@@ -351,16 +510,40 @@ def _stream_bytes(stm: Stream) -> bytes:
     if filt is None:
         return stm.raw
     filters = filt if isinstance(filt, list) else [filt]
+    parms_raw = stm.dict.get("DecodeParms") or stm.dict.get("DP")
+    parms = parms_raw if isinstance(parms_raw, list) else [parms_raw] * len(filters)
     data = stm.raw
-    for f in filters:
+    for f, pm in zip(filters, parms):
         if str(f) == "FlateDecode":
             try:
                 data = zlib.decompress(data)
             except zlib.error as exc:
                 raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+            if isinstance(pm, dict) and int(pm.get("Predictor", 1) or 1) >= 10:
+                data = _png_unpredict(data, int(pm.get("Columns", 1) or 1))
         else:
             raise ValueError(f"unsupported stream filter /{f}")
     return data
+
+
+def _expand_objstm(stm: Stream, objects: dict[int, object]) -> None:
+    """Add an object stream's member objects (PDF 1.5 §7.5.7) to the
+    object map. Existing entries win — a top-level object from a later
+    incremental update shadows the ObjStm copy."""
+    data = _stream_bytes(stm)
+    n = int(stm.dict.get("N") or 0)
+    first = int(stm.dict.get("First") or 0)
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        raise ValueError("short ObjStm header")
+    for k in range(n):
+        num = int(header[2 * k])
+        off = first + int(header[2 * k + 1])
+        try:
+            val, _ = _parse_obj(data, off)
+        except ValueError:
+            continue  # tolerate one bad member, keep the rest
+        objects.setdefault(num, val)
 
 
 # ---------------------------------------------------------------------------
@@ -387,7 +570,12 @@ _META_TO_INFO = {
 }
 
 
-def write_pdf(doc: dict, compress: bool = False) -> bytes:
+def write_pdf(
+    doc: dict,
+    compress: bool = False,
+    xref_stream: bool = False,
+    custom_encoding: bool = False,
+) -> bytes:
     """Layout-payload dict (markup schema) → PDF bytes.
 
     Supported: pages, chars (any fontname/size/color/geometry — glyphs
@@ -397,6 +585,21 @@ def write_pdf(doc: dict, compress: bool = False) -> bytes:
     titles as UTF-16BE hex), annos (/Link with /Dest array or named
     dest), dests (catalog /Dests dict), meta (/Info). With
     ``compress=True`` every content stream is FlateDecode-compressed.
+
+    ``xref_stream=True`` writes a PDF 1.5 file: every non-stream object
+    is packed into a ``/Type /ObjStm`` object stream and the
+    cross-reference is a ``/Type /XRef`` STREAM (/W-encoded binary
+    rows, no ``trailer`` keyword) — the post-2005-producer layout. A
+    sequential scanner cannot see the packed objects, so round-tripping
+    such a file exercises the parser's real xref-stream + ObjStm path.
+
+    ``custom_encoding=True`` writes every font with a deliberately
+    NON-identity single-byte encoding: char codes are assigned
+    sequentially from 0x21 in sorted-glyph order, the content stream
+    shows CODES, and a ``/ToUnicode`` CMap (bfchar) carries the
+    code→Unicode mapping — the embedded-font shape whose text is
+    garbage without CMap support. Multi-char glyph texts map one code
+    to a multi-char Unicode string (the ligature case).
     """
     pages = doc.get("pages", [])
     chars = _rows_from_chars(doc.get("chars"))
@@ -422,37 +625,112 @@ def write_pdf(doc: dict, compress: bool = False) -> bytes:
     # whose every observed glyph is Courier-600 is written without
     # /Widths, exercising the parser's standard-14 fallback.
     fontnames = sorted({(c.get("fontname") or "Courier") for c in chars}) or ["Courier"]
-    observed: dict[str, dict[int, float]] = {fn: {} for fn in fontnames}
-    for c in chars:
-        fn = c.get("fontname") or "Courier"
-        size = float(c["y1"]) - float(c["y0"])
-        if size > 0:
-            code = ord(str(c["text"])[:1] or " ")
-            observed[fn].setdefault(
-                code, round((float(c["x1"]) - float(c["x0"])) / size * 1000.0, 3)
-            )
     width_of: dict[str, dict[int, float]] = {}
     font_res: dict[str, tuple[str, int]] = {}
-    for i, fn in enumerate(fontnames, start=1):
-        safe = _pdf_name(fn) or "Courier"
-        table = {
-            code: observed[fn].get(code, float(font_width_millis(fn, chr(code))))
-            for code in range(32, 127)
-        }
-        table.update(observed[fn])  # codes outside 32..126 too
-        width_of[fn] = table
-        if "Courier" in fn and all(w == 600 for w in observed[fn].values()):
-            width_of[fn] = {code: 600.0 for code in table}
-            body = f"<< /Type /Font /Subtype /Type1 /BaseFont /{safe} >>"
-        else:
-            widths = " ".join(
-                _num(table[code]) for code in range(32, 127)
+    code_of: dict[str, dict[str, int]] = {}
+    if custom_encoding:
+        # non-identity single-byte encoding + /ToUnicode CMap per font
+        for i, fn in enumerate(fontnames, start=1):
+            safe = _pdf_name(fn) or "Courier"
+            texts = sorted(
+                {str(c["text"]) for c in chars if (c.get("fontname") or "Courier") == fn}
             )
+            codes: dict[str, int] = {}
+            next_code = 0x21
+            for t in texts:
+                if next_code == 32:
+                    next_code += 1
+                if next_code > 0xFF:
+                    raise ValueError(
+                        "too many distinct glyphs for a single-byte custom encoding"
+                    )
+                codes[t] = next_code
+                next_code += 1
+            code_of[fn] = codes
+            observed_c: dict[int, float] = {}
+            for c in chars:
+                if (c.get("fontname") or "Courier") != fn:
+                    continue
+                size = float(c["y1"]) - float(c["y0"])
+                if size > 0:
+                    observed_c.setdefault(
+                        codes[str(c["text"])],
+                        round((float(c["x1"]) - float(c["x0"])) / size * 1000.0, 3),
+                    )
+            minc = min(codes.values(), default=0x21)
+            maxc = max(codes.values(), default=0x21)
+            table = {
+                code: observed_c.get(code, float(_FALLBACK_WIDTH))
+                for code in range(minc, maxc + 1)
+            }
+            width_of[fn] = table
+            # /ToUnicode CMap: bfchar blocks of ≤100 pairs (spec limit)
+            pairs = sorted((code, t) for t, code in codes.items())
+            blocks = []
+            for b0 in range(0, len(pairs), 100):
+                chunk = pairs[b0 : b0 + 100]
+                body_lines = "\n".join(
+                    f"<{code:02x}> <{t.encode('utf-16-be').hex()}>"
+                    for code, t in chunk
+                )
+                blocks.append(
+                    f"{len(chunk)} beginbfchar\n{body_lines}\nendbfchar"
+                )
+            cmap = (
+                "/CIDInit /ProcSet findresource begin\n"
+                "12 dict begin\nbegincmap\n"
+                "/CMapName /Custom-UTF16 def\n/CMapType 2 def\n"
+                "1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+                + "\n".join(blocks)
+                + "\nendcmap\nCMap defined\nend\nend"
+            ).encode("ascii")
+            if compress:
+                z = zlib.compress(cmap)
+                tu_num = add(
+                    b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                    % (len(z), z)
+                )
+            else:
+                tu_num = add(
+                    b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap)
+                )
+            widths = " ".join(_num(table[code]) for code in range(minc, maxc + 1))
             body = (
                 f"<< /Type /Font /Subtype /Type1 /BaseFont /{safe} "
-                f"/FirstChar 32 /LastChar 126 /Widths [{widths}] >>"
+                f"/FirstChar {minc} /LastChar {maxc} /Widths [{widths}] "
+                f"/ToUnicode {tu_num} 0 R >>"
             )
-        font_res[fn] = (f"F{i}", add(body.encode()))
+            font_res[fn] = (f"F{i}", add(body.encode()))
+    else:
+        observed: dict[str, dict[int, float]] = {fn: {} for fn in fontnames}
+        for c in chars:
+            fn = c.get("fontname") or "Courier"
+            size = float(c["y1"]) - float(c["y0"])
+            if size > 0:
+                code = ord(str(c["text"])[:1] or " ")
+                observed[fn].setdefault(
+                    code, round((float(c["x1"]) - float(c["x0"])) / size * 1000.0, 3)
+                )
+        for i, fn in enumerate(fontnames, start=1):
+            safe = _pdf_name(fn) or "Courier"
+            table = {
+                code: observed[fn].get(code, float(font_width_millis(fn, chr(code))))
+                for code in range(32, 127)
+            }
+            table.update(observed[fn])  # codes outside 32..126 too
+            width_of[fn] = table
+            if "Courier" in fn and all(w == 600 for w in observed[fn].values()):
+                width_of[fn] = {code: 600.0 for code in table}
+                body = f"<< /Type /Font /Subtype /Type1 /BaseFont /{safe} >>"
+            else:
+                widths = " ".join(
+                    _num(table[code]) for code in range(32, 127)
+                )
+                body = (
+                    f"<< /Type /Font /Subtype /Type1 /BaseFont /{safe} "
+                    f"/FirstChar 32 /LastChar 126 /Widths [{widths}] >>"
+                )
+            font_res[fn] = (f"F{i}", add(body.encode()))
 
     pages_num = add()  # pages-tree placeholder, patched below
     page_obj_nums: list[int] = []
@@ -497,12 +775,20 @@ def write_pdf(doc: dict, compress: bool = False) -> bytes:
             buf: list[str] = []
             pen = float(run[0]["x0"])
             ftable = width_of[fn]
+            fcodes = code_of.get(fn)
             for c in run:
-                ch0 = str(c["text"])[:1] or " "
-                wg = (
-                    ftable.get(ord(ch0), float(font_width_millis(fn, ch0)))
-                    * size / 1000.0
-                )
+                t = str(c["text"])
+                if fcodes is not None:
+                    code = fcodes[t]  # built from these exact chars
+                    wg = ftable.get(code, float(_FALLBACK_WIDTH)) * size / 1000.0
+                    emit = chr(code)
+                else:
+                    ch0 = t[:1] or " "
+                    wg = (
+                        ftable.get(ord(ch0), float(font_width_millis(fn, ch0)))
+                        * size / 1000.0
+                    )
+                    emit = t
                 gap = float(c["x0"]) - pen
                 if abs(gap) > 1e-4:
                     if buf:
@@ -510,7 +796,7 @@ def write_pdf(doc: dict, compress: bool = False) -> bytes:
                         buf = []
                     items.append(_num(-gap * 1000.0 / size))
                     pen = float(c["x0"])
-                buf.append(str(c["text"]))
+                buf.append(emit)
                 pen += wg
             if buf:
                 items.append(f"({_esc(''.join(buf))})")
@@ -703,7 +989,64 @@ def write_pdf(doc: dict, compress: bool = False) -> bytes:
         cat_parts.append(f"/Dests {dests_num} 0 R")
     catalog_num = add(f"<< {' '.join(cat_parts)} >>".encode())
 
-    # --- serialize with a real xref table ---
+    if xref_stream:
+        # --- PDF 1.5 serialization: ObjStm-packed objects + xref STREAM ---
+        out = bytearray(b"%PDF-1.5\n")
+        objstm_num = len(objects) + 1
+        xref_num = len(objects) + 2
+        top_offset: dict[int, int] = {}
+        in_objstm: dict[int, int] = {}  # objnum → index within the ObjStm
+        members: list[tuple[int, bytes]] = []
+        for num, obj in enumerate(objects, start=1):
+            body = obj or b"null"
+            if body.endswith(b"endstream"):  # streams cannot live in an ObjStm
+                top_offset[num] = len(out)
+                out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+            else:
+                in_objstm[num] = len(members)
+                members.append((num, body))
+        header_parts: list[str] = []
+        bodies = bytearray()
+        for num, body in members:
+            header_parts.append(f"{num} {len(bodies)}")
+            bodies += body + b"\n"
+        header = (" ".join(header_parts) + "\n").encode()
+        z = zlib.compress(bytes(header + bodies))
+        top_offset[objstm_num] = len(out)
+        out += (
+            f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(members)} "
+            f"/First {len(header)} /Length {len(z)} /Filter /FlateDecode "
+            f">>\nstream\n".encode()
+            + z
+            + b"\nendstream\nendobj\n"
+        )
+        xref_pos = len(out)
+        top_offset[xref_num] = xref_pos
+        size = xref_num + 1
+        rows = bytearray()
+        for num in range(size):  # /W [1 4 2]: type, offset|objstm, gen|idx
+            if num == 0:
+                t, f2, f3 = 0, 0, 65535
+            elif num in top_offset:
+                t, f2, f3 = 1, top_offset[num], 0
+            else:
+                t, f2, f3 = 2, objstm_num, in_objstm[num]
+            rows += bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        xz = zlib.compress(bytes(rows))
+        xdict = (
+            f"<< /Type /XRef /Size {size} /W [1 4 2] /Root {catalog_num} 0 R"
+            + (f" /Info {info_num} 0 R" if info_num else "")
+            + f" /Length {len(xz)} /Filter /FlateDecode >>"
+        )
+        out += (
+            f"{xref_num} 0 obj\n{xdict}\nstream\n".encode()
+            + xz
+            + b"\nendstream\nendobj\n"
+        )
+        out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+        return bytes(out)
+
+    # --- PDF 1.4 serialization with a classic xref table ---
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, obj in enumerate(objects, start=1):
@@ -791,6 +1134,46 @@ def _content_tokens(data: bytes):
             yield ("op", op)
 
 
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_BFRANGE_ENTRY_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)"
+)
+
+
+def _utf16be(hexs: bytes) -> str:
+    return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be")
+
+
+def _parse_cmap(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap → {char code: unicode string} (PDF 32000 §9.10.3:
+    bfchar pairs, bfrange with incrementing scalar or explicit array).
+    Single-byte codespace — the simple-font case this module writes and
+    reads; multi-char destinations (ligatures) are preserved."""
+    out: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(data):
+        toks = _HEX_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            out[int(src, 16)] = _utf16be(dst)
+    for m in _BFRANGE_RE.finditer(data):
+        for em in _BFRANGE_ENTRY_RE.finditer(m.group(1)):
+            lo, hi = int(em.group(1), 16), int(em.group(2), 16)
+            dst = em.group(3)
+            if dst.startswith(b"["):
+                for k, dh in enumerate(_HEX_RE.findall(dst)):
+                    if lo + k <= hi:
+                        out[lo + k] = _utf16be(dh)
+            else:
+                width = len(dst) - 2  # hex digits
+                base = int(dst[1:-1], 16)
+                for k in range(hi - lo + 1):
+                    out[lo + k] = bytes.fromhex(
+                        format(base + k, f"0{width}x")
+                    ).decode("utf-16-be")
+    return out
+
+
 def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]:
     fonts = {}
     fdict = resolve(res.get("Font")) or {}
@@ -801,10 +1184,18 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
             fonts[rname] = cache[key]
             continue
         widths = resolve(fobj.get("Widths"))
+        tounicode = None
+        tu = resolve(fobj.get("ToUnicode"))
+        if isinstance(tu, Stream):
+            try:
+                tounicode = _parse_cmap(_stream_bytes(tu)) or None
+            except (ValueError, UnicodeDecodeError):
+                tounicode = None  # unreadable CMap → latin-1 fallback
         info = {
             "basefont": str(fobj.get("BaseFont") or "Courier"),
             "first": int(resolve(fobj.get("FirstChar")) or 0),
             "widths": [float(resolve(w)) for w in widths] if widths else None,
+            "tounicode": tounicode,
         }
         if cache is not None:
             cache[key] = info
@@ -852,12 +1243,13 @@ def _interpret_content(
 
     def show_text(raw: bytes):
         nonlocal tm
-        text = raw.decode("latin-1")
+        text = raw.decode("latin-1")  # char codes 1:1 (simple fonts)
         trm = _mat_mul(tm, ctm)
         a, b_, c_, d, e, f = trm
         widths = font["widths"] if font else None
         first = font["first"] if font else 0
         basefont = font["basefont"] if font else None
+        tumap = font.get("tounicode") if font else None
         fill_list = list(fill)
         if b_ == 0.0 and c_ == 0.0:
             # fast path: no rotation/skew — advance in text space and
@@ -875,14 +1267,17 @@ def _interpret_content(
                     )
                 else:
                     w = font_width_millis(basefont, ch)
+                # widths and word-spacing key on the CODE; the emitted
+                # TEXT goes through /ToUnicode when the font has one
+                disp = tumap.get(ord(ch), ch) if tumap else ch
                 w_text = w / 1000.0 * size + tc
-                if ch == " ":
+                if ch == " ":  # Tw applies to code 32 (PDF 32000 §9.3.3)
                     w_text += tw
-                else:
+                if disp != " ":
                     xa = e + a * x
                     xb = e + a * (x + w_text - tc)
                     chars["page"].append(pageno)
-                    chars["text"].append(ch)
+                    chars["text"].append(disp)
                     chars["x0"].append(xa if xa <= xb else xb)
                     chars["y0"].append(y0v)
                     chars["x1"].append(xb if xb >= xa else xa)
@@ -894,14 +1289,15 @@ def _interpret_content(
             return
         for ch in text:
             w_text = _glyph_width_millis(font, ch) / 1000.0 * size + tc
+            disp = tumap.get(ord(ch), ch) if tumap else ch
             if ch == " ":
                 w_text += tw
-            else:
+            if disp != " ":
                 trm = _mat_mul(tm, ctm)
                 xa, ya = _apply(trm, 0.0, 0.0)
                 xb, yb = _apply(trm, w_text - tc, size)
                 chars["page"].append(pageno)
-                chars["text"].append(ch)
+                chars["text"].append(disp)
                 chars["x0"].append(min(xa, xb))
                 chars["y0"].append(min(ya, yb))
                 chars["x1"].append(max(xa, xb))
@@ -1060,36 +1456,67 @@ def parse_pdf(data: bytes) -> dict:
     """PDF bytes → layout-payload dict (chars/lines/rects/figures/
     outline/annos/dests/meta/pages — the markup schema).
 
-    Tolerant scanning parser: no xref dependence, objects discovered
-    sequentially, streams sliced by /Length. FlateDecode streams are
-    inflated; any OTHER filter on a needed stream raises ``ValueError``
-    so the document is a recorded parse failure (ADVICE r1)."""
+    Object loading: the cross-reference data at ``startxref`` is the
+    PRIMARY path (classic tables and PDF 1.5 xref streams alike, /Prev
+    chains followed, ObjStm members materialized); any malformation
+    falls back to the tolerant sequential scan — which itself expands
+    every ``/Type /ObjStm`` it finds, so object-stream-packed PDFs
+    parse even with a corrupt xref. FlateDecode (with PNG predictors)
+    is inflated; any OTHER filter on a needed stream raises
+    ``ValueError`` so the document is a recorded parse failure
+    (ADVICE r1)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF byte-stream")
-    objects = _scan_objects(data)
-    resolve = _Resolver(objects)
-
-    # --- catalog via trailer /Root, falling back to a /Type /Catalog scan ---
-    catalog = None
-    tpos = data.rfind(b"trailer")
-    if tpos >= 0:
-        try:
-            tdict, _ = _parse_obj(data, tpos + 7)
-            catalog = resolve(tdict.get("Root"))
-            info = resolve(tdict.get("Info"))
-        except ValueError:
-            catalog, info = None, None
-    else:
-        info = None
+    objects: dict[int, object] | None = None
+    catalog = info = None
+    try:
+        objects, trailer = _load_via_xref(data)
+        resolve = _Resolver(objects)
+        catalog = resolve(trailer.get("Root"))
+        info = resolve(trailer.get("Info"))
+    except ValueError:
+        objects = None
     if not isinstance(catalog, dict):
-        catalog = next(
-            (
-                v for v in objects.values()
-                if isinstance(v, dict) and str(v.get("Type")) == "Catalog"
-            ),
-            None,
-        )
-        info = None
+        objects, catalog, info = None, None, None
+    if objects is None:
+        objects = _scan_objects(data)
+        for v in list(objects.values()):
+            if isinstance(v, Stream) and str(v.dict.get("Type")) == "ObjStm":
+                try:
+                    _expand_objstm(v, objects)
+                except ValueError:
+                    pass  # tolerate a corrupt ObjStm, keep the rest
+        resolve = _Resolver(objects)
+
+        # --- /Root via trailer keyword, xref-stream dict, or catalog scan ---
+        tpos = data.rfind(b"trailer")
+        if tpos >= 0:
+            try:
+                tdict, _ = _parse_obj(data, tpos + 7)
+                catalog = resolve(tdict.get("Root"))
+                info = resolve(tdict.get("Info"))
+            except ValueError:
+                catalog, info = None, None
+        if not isinstance(catalog, dict):
+            xstm = next(
+                (
+                    v for v in objects.values()
+                    if isinstance(v, Stream) and str(v.dict.get("Type")) == "XRef"
+                ),
+                None,
+            )
+            if xstm is not None:
+                catalog = resolve(xstm.dict.get("Root"))
+                info = resolve(xstm.dict.get("Info"))
+        if not isinstance(catalog, dict):
+            catalog = next(
+                (
+                    v for v in objects.values()
+                    if isinstance(v, dict) and str(v.get("Type")) == "Catalog"
+                ),
+                None,
+            )
+            info = None
     if catalog is None:
         raise ValueError("no /Catalog found in PDF")
 

@@ -211,3 +211,175 @@ def test_awkward_dest_names_roundtrip():
     assert parsed["dests"]["sec/1 (intro)"] == {"page": 1, "x": 10.0, "y": 20.0}
     assert parsed["dests"]["über#2"] == {"page": 2, "x": 0.0, "y": 700.0}
     assert parsed["meta"]["trapped"] == "Unknown"
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5: xref streams + object streams; ToUnicode CMaps
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("family", PDF_FAMILIES)
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"xref_stream": True, "compress": True},
+        {"custom_encoding": True, "compress": True},
+        {"xref_stream": True, "custom_encoding": True, "compress": True},
+    ],
+    ids=["xref_stream", "tounicode", "xref_stream+tounicode"],
+)
+def test_pdf15_roundtrip_matches_markup_path(family, kwargs):
+    """Every fixture family written in the post-2005 layout (ObjStm-
+    packed objects, /Type/XRef stream, optionally a non-identity
+    /ToUnicode encoding) extracts identically to the markup path."""
+    builder = FAMILIES[family]()
+    markup_doc = builder.build()
+    pdf_bytes = write_pdf(markup_doc, **kwargs)
+    if kwargs.get("xref_stream"):
+        assert pdf_bytes.startswith(b"%PDF-1.5")
+        assert b"trailer" not in pdf_bytes  # xref stream replaces it
+        assert b"/ObjStm" in pdf_bytes
+    parsed = parse_pdf(pdf_bytes)
+    via_pdf = extract_document(parsed, DEFAULT_CONFIG)
+    via_markup = extract_document(markup_doc, DEFAULT_CONFIG)
+    assert via_pdf.extracted_text == via_markup.extracted_text
+    assert [(e.kind, e.uid, e.text) for e in via_pdf.elements] == [
+        (e.kind, e.uid, e.text) for e in via_markup.elements
+    ]
+
+
+def test_objstm_hides_catalog_from_raw_scan():
+    """The ObjStm layout is REAL: a sequential scanner without object-
+    stream expansion cannot even find the catalog."""
+    from libpdf_spark.pdfmini import _scan_objects
+
+    doc = FAMILIES["plain_paragraphs"]().build()
+    data = write_pdf(doc, xref_stream=True)
+    top = _scan_objects(data)
+    assert not any(
+        isinstance(v, dict) and str(v.get("Type")) == "Catalog"
+        for v in top.values()
+    )
+    assert parse_pdf(data)["chars"]["text"]  # full parse still succeeds
+
+
+def test_corrupt_startxref_falls_back_to_scan_with_objstm():
+    doc = FAMILIES["plain_paragraphs"]().build()
+    data = write_pdf(doc, xref_stream=True, compress=True)
+    sx = data.rfind(b"startxref")
+    broken = data[:sx] + b"startxref\n999999999\n%%EOF\n"
+    parsed = parse_pdf(broken)
+    assert parsed["chars"]["text"] == parse_pdf(data)["chars"]["text"]
+
+
+def test_incremental_update_prev_chain():
+    """An appended incremental update (new /Info + xref section with
+    /Prev) wins over the original — newest-first entry precedence."""
+    doc = FAMILIES["plain_paragraphs"]().build()
+    doc["meta"] = {"title": "Original"}
+    data = write_pdf(doc)
+    old_startxref = int(data[data.rfind(b"startxref") + 9 :].split()[0])
+    # object numbers: /Info is findable from the old trailer
+    m = __import__("re").search(rb"/Info (\d+) 0 R", data)
+    info_num = int(m.group(1))
+    m = __import__("re").search(rb"/Root (\d+) 0 R", data)
+    root_num = int(m.group(1))
+    size = int(__import__("re").search(rb"/Size (\d+)", data).group(1))
+    upd = bytearray(data)
+    new_obj_off = len(upd)
+    upd += f"{info_num} 0 obj\n<< /Title (Updated) >>\nendobj\n".encode()
+    xref_off = len(upd)
+    upd += (
+        f"xref\n{info_num} 1\n{new_obj_off:010d} 00000 n \n"
+        f"trailer\n<< /Size {size} /Root {root_num} 0 R "
+        f"/Info {info_num} 0 R /Prev {old_startxref} >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    parsed = parse_pdf(bytes(upd))
+    assert parsed["meta"]["title"] == "Updated"
+    assert parsed["chars"]["text"] == parse_pdf(data)["chars"]["text"]
+
+
+def test_foreign_xref_stream_with_png_predictor():
+    """Hand-built foreign-producer file: predictor-12 (PNG Up) encoded
+    xref stream with /Index subsections — the layout pdflatex/word
+    emit."""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 100] "
+           b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    }
+    content = b"BT /F1 10 Tf 10 50 Td (Hi) Tj ET"
+    objs[4] = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    offsets[6] = xref_pos
+    rows = []
+    for num in range(7):  # W=[1 4 2]
+        t, f2, f3 = (0, 0, 65535) if num == 0 else (1, offsets[num], 0)
+        rows.append(bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big"))
+    # PNG Up predictor: each row stored as (2, row - prev_row)
+    enc = bytearray()
+    prev = bytes(7)
+    for row in rows:
+        enc += bytes([2]) + bytes((b - p) & 0xFF for b, p in zip(row, prev))
+        prev = row
+    xz = zlib.compress(bytes(enc))
+    out += (
+        f"6 0 obj\n<< /Type /XRef /Size 7 /W [1 4 2] /Index [0 7] "
+        f"/Root 1 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+        f"/Length {len(xz)} >>\nstream\n".encode()
+        + xz
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    parsed = parse_pdf(bytes(out))
+    assert "".join(parsed["chars"]["text"]) == "Hi"
+    assert parsed["pages"] == [{"number": 1, "width": 200.0, "height": 100.0}]
+
+
+def test_parse_cmap_bfchar_bfrange_and_ligature():
+    from libpdf_spark.pdfmini import _parse_cmap
+
+    cmap = b"""
+    /CIDInit /ProcSet findresource begin
+    begincmap
+    1 begincodespacerange <00> <ff> endcodespacerange
+    2 beginbfchar
+    <21> <0041>
+    <22> <00660069>
+    endbfchar
+    2 beginbfrange
+    <30> <32> <0061>
+    <40> <41> [<005A> <0059>]
+    endbfrange
+    endcmap
+    """
+    m = _parse_cmap(cmap)
+    assert m[0x21] == "A"
+    assert m[0x22] == "fi"  # ligature: one code, two chars
+    assert (m[0x30], m[0x31], m[0x32]) == ("a", "b", "c")
+    assert (m[0x40], m[0x41]) == ("Z", "Y")
+
+
+def test_tounicode_is_load_bearing():
+    """Stripping /ToUnicode from a custom-encoded PDF garbles the text
+    — proof the CMap mapping does the work, not a hidden identity."""
+    import re as _re
+
+    builder = FAMILIES["plain_paragraphs"]()
+    doc = builder.build()
+    data = write_pdf(doc, custom_encoding=True)
+    good = "".join(parse_pdf(data)["chars"]["text"])
+    stripped = _re.sub(rb"/ToUnicode \d+ 0 R ", b"", data)
+    garbled = "".join(parse_pdf(stripped)["chars"]["text"])
+    classic = "".join(parse_pdf(write_pdf(doc))["chars"]["text"])
+    assert good == classic  # CMap recovers the identical text
+    assert garbled != good  # …and without it the codes are garbage
