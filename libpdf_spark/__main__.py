@@ -1,9 +1,11 @@
 """CLI — ``python -m libpdf_spark <source> [options]``.
 
 Argparse analog of the reference's click CLI (``core.py:374-533``):
-same flag names, ``--output-format json|jsonl|stdout`` (the reference
-offers json/yaml/stdout; YAML needs a third-party lib, jsonl is the
-corpus-native line format instead), S8/S9 sinks behind the same flags.
+same flag names, ``--output-format json|jsonl|yaml|stdout`` (the
+reference offers json/yaml/stdout via ruamel; ``yaml`` here uses the
+stdlib-only :mod:`libpdf_spark.yamlmini` emitter with the reference's
+sequence=4/offset=2 block layout; jsonl is the corpus-native line
+format on top), S8/S9 sinks behind the same flags.
 """
 
 from __future__ import annotations
@@ -57,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--smart-page-crop", action="store_true")
     ap.add_argument("-of", "--output-format", default="stdout",
-                    choices=["json", "jsonl", "stdout"])
+                    choices=["json", "jsonl", "yaml", "stdout"])
     ap.add_argument("-o", "--output-path", default=None)
     ap.add_argument("--save-figures", action="store_true")
     ap.add_argument("--figure-dir", default="figures")
@@ -120,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.output_format == "json":
             json.dump(payload, out, indent=2, ensure_ascii=False)
             out.write("\n")
+        elif args.output_format == "yaml":
+            from libpdf_spark.yamlmini import dump as yaml_dump
+
+            out.write(yaml_dump(payload))
         else:  # jsonl: one element per line (corpus-native)
             for e in payload["elements"]:
                 out.write(json.dumps(e, ensure_ascii=False) + "\n")
