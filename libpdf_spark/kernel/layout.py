@@ -88,14 +88,29 @@ class CharArrays:
     @classmethod
     def from_payload(cls, chars) -> "CharArrays":
         """Accept any payload encoding: row dicts, columnar dict, or
-        the v2 packed form (base64 buffers → ``np.frombuffer``)."""
+        the v2 packed form (base64 buffers → ``np.frombuffer``).
+
+        Applies the anno-noise filter (F2, ``extract.py:446-486``
+        ``delete_page_ann``): pdfminer's layout analysis injects
+        virtual ``anno`` objects whose text is ``" "`` or ``"\\n"``
+        (pdfplumber issue #1); a producer that serialized that object
+        soup lands them in the char array. Real payloads carry spacing
+        as geometry (gaps), never as whitespace glyphs, so any such
+        row is an artifact and is dropped before grouping."""
         if isinstance(chars, dict):
             if chars.get("v") == 2:
                 from libpdf_spark.payload import unpack_chars
 
-                return cls.from_columnar(unpack_chars(chars))
-            return cls.from_columnar(chars)
-        return cls.from_records(chars or [])
+                arr = cls.from_columnar(unpack_chars(chars))
+            else:
+                arr = cls.from_columnar(chars)
+        else:
+            arr = cls.from_records(chars or [])
+        n = len(arr)
+        keep = np.fromiter(
+            (t not in (" ", "\n") for t in arr.text), dtype=bool, count=n
+        )
+        return arr if keep.all() else arr.take(keep)
 
     def take(self, idx: np.ndarray) -> "CharArrays":
         return CharArrays(

@@ -85,3 +85,60 @@ def test_hostile_types_raise_cleanly():
     doc["pages"] = [{"number": 1, "width": "wide", "height": 792}]
     with pytest.raises((ValueError, TypeError)):
         extract_document(doc, ExtractConfig())
+
+
+def test_f2_anno_noise_filter_all_encodings():
+    """F2 (reference extract.py:446-486 delete_page_ann): whitespace
+    'anno' artifacts injected by a pdfminer-style producer — text " "
+    or "\\n", degenerate or plausible coords — are dropped before
+    grouping, in every payload encoding, leaving extraction
+    byte-identical to the clean payload."""
+    import copy
+
+    from libpdf_spark.config import DEFAULT_CONFIG
+    from libpdf_spark.fixtures import FAMILIES
+    from libpdf_spark.kernel.document import extract_document
+    from libpdf_spark.kernel.layout import CharArrays
+    from libpdf_spark.payload import to_columnar_chars, to_packed_chars
+
+    doc = FAMILIES["plain_paragraphs"]().build()
+    clean = extract_document(copy.deepcopy(doc), DEFAULT_CONFIG)
+
+    dirty = copy.deepcopy(doc)
+    real = dirty["chars"][10]
+    artifacts = [
+        {"page": 1, "text": " ", "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0,
+         "fontname": None, "ncolor": None},
+        {"page": 1, "text": "\n", "x0": 0.0, "y0": 0.0, "x1": 0.0, "y1": 0.0,
+         "fontname": None, "ncolor": None},
+        # plausible coords adjacent to a REAL char — without F2 this
+        # would join its line and perturb the bbox union
+        {"page": int(real["page"]), "text": " ",
+         "x0": float(real["x1"]), "y0": float(real["y0"]),
+         "x1": float(real["x1"]) + 5.0, "y1": float(real["y1"]),
+         "fontname": None, "ncolor": None},
+    ]
+    dirty["chars"] = dirty["chars"] + artifacts
+
+    # rows encoding
+    got_rows = extract_document(copy.deepcopy(dirty), DEFAULT_CONFIG)
+    # columnar encoding
+    d_col = copy.deepcopy(dirty)
+    d_col["chars"] = to_columnar_chars(d_col["chars"])
+    got_col = extract_document(d_col, DEFAULT_CONFIG)
+    # packed v2 encoding (whitespace glyphs are single chars → packable)
+    d_pk = copy.deepcopy(dirty)
+    d_pk["chars"] = to_packed_chars(to_columnar_chars(d_pk["chars"]))
+    assert d_pk["chars"] is not None and d_pk["chars"]["v"] == 2
+    got_pk = extract_document(d_pk, DEFAULT_CONFIG)
+
+    for got in (got_rows, got_col, got_pk):
+        assert got.extracted_text == clean.extracted_text
+        assert [(e.uid, e.text, e.x0, e.y0, e.x1, e.y1) for e in got.elements] == [
+            (e.uid, e.text, e.x0, e.y0, e.x1, e.y1) for e in clean.elements
+        ]
+
+    # and the filter itself is observable at ingestion
+    arr = CharArrays.from_payload(dirty["chars"])
+    assert not any(t in (" ", "\n") for t in arr.text)
+    assert len(arr) == len(doc["chars"])
