@@ -187,3 +187,43 @@ def test_transcripts_without_tool_column(spark):
     out = extract_turns(spark.createDataFrame(pdf), ExtractConfig()).toPandas()
     assert bool(out.loc[0, "parse_ok"])
     assert out.loc[0, "extracted_text"] == b.expected_text()
+
+
+def test_salt_stage_input_output_identical_results(spark, corpus):
+    """The exchange placement (salt raw input vs salt extracted
+    output) is a pure plan choice: results are identical row-for-row,
+    and both plans carry the explicit salted conv_id repartition."""
+    transcripts, expected_text, _ = corpus
+    df = spark.createDataFrame(transcripts)
+    cols = ["conv_id", "turn_idx", "parse_ok", "extracted_text", "n_elements"]
+    a = (
+        extract_turns(df, ExtractConfig(), num_partitions=8, salt_stage="input")
+        .select(*cols).orderBy("conv_id", "turn_idx").toPandas()
+    )
+    b = (
+        extract_turns(df, ExtractConfig(), num_partitions=8, salt_stage="output")
+        .select(*cols).orderBy("conv_id", "turn_idx").toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+    with pytest.raises(ValueError, match="salt_stage"):
+        extract_turns(df, ExtractConfig(), salt_stage="sideways")
+
+
+def test_output_salting_spreads_hot_conversation_output(spark, corpus):
+    """Output-stage salting: one hot conversation's EXTRACTED rows are
+    spread across partitions for the downstream write/agg stages."""
+    import pyspark.sql.functions as F
+
+    transcripts, _, _ = corpus
+    hot = transcripts.copy()
+    hot["conv_id"] = "hot-conversation"
+    hot["turn_idx"] = pd.array(range(len(hot)), dtype="int32")
+    out = extract_turns(
+        spark.createDataFrame(hot), ExtractConfig(), num_partitions=8,
+        salt_stage="output",
+    )
+    counts = (
+        out.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().toPandas()
+    )
+    assert len(counts) > 1, counts
