@@ -137,7 +137,11 @@ def make_session(cpus: int):
         .appName(f"libpdf_spark-bench-{cpus}")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        # one task per corpus file (96 round-robin-even files): the
+        # default 4MB openCostInBytes packs the ~1.4MB files several
+        # to a split, collapsing the UDF stage to 1.5 waves at 32c
+        .config("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
         # shuffle files on tmpfs: this VM's virtio disk has high,
         # VARIABLE iowait (3× run-to-run noise) — a real cluster node
         # has local SSDs; we benchmark compute scaling, not this disk
@@ -170,10 +174,15 @@ def materialize_transcripts(
     )
     fix_pdf, _, _ = gen_transcripts(n_convs=100, seed=42)
     fix_part = spark.createDataFrame(fix_pdf)
-    # 96 output files = 3 task waves at local[32] for the map-side UDF
-    # stage (straggler smoothing without any input repartition)
+    # Fine row groups (8 MB) = fine scan splits = many short UDF tasks.
+    # The map-side extraction stage's parallelism IS the split count;
+    # with 3GB/96 splits the stage ran 3 waves of ~2.3 s tasks at
+    # local[32] and the last-wave straggler tail cost ~20% wall
+    # (measured r3); 8 MB row groups give ~12 waves of ~0.6 s tasks.
     corpus = docs_part.unionByName(fix_part).repartition(96)
-    corpus.write.mode("overwrite").parquet(path)
+    corpus.write.mode("overwrite").option(
+        "parquet.block.size", str(8 * 1024 * 1024)
+    ).parquet(path)
     return spark.read.parquet(path).count()
 
 
@@ -326,7 +335,7 @@ def main():
         spark.stop()
         return
     os.makedirs(WORK, exist_ok=True)
-    in_path = os.path.join(WORK, "transcripts_v3")
+    in_path = os.path.join(WORK, "transcripts_v4")
 
     if "--scaling-level" in sys.argv:
         # child process: one parallelism level, one JVM, pinned cores
@@ -364,7 +373,7 @@ def main():
 
         replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "6"))
         text_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_REPEAT", "4"))
-        in_path = os.path.join(WORK, f"transcripts_v3_x{replicate}_t{text_repeat}")
+        in_path = os.path.join(WORK, f"transcripts_v4_x{replicate}_t{text_repeat}")
         spark = make_session(CPUS)
         n_turns = materialize_transcripts(
             spark, in_path, replicate=replicate, text_repeat=text_repeat
