@@ -365,6 +365,39 @@ _XREF_SUBSEC_RE = re.compile(rb"(\d+)\s+(\d+)\s*")
 _XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])\s?\s?")
 
 
+def _xref_stream_entries(
+    xstm: Stream, entries: dict[int, tuple[int, int, int]]
+) -> None:
+    """Decode a ``/Type /XRef`` stream's binary rows (/W field widths,
+    /Index subsections) into the entry map; first-seen entries win."""
+    tdict = xstm.dict
+    w = [int(v) for v in tdict.get("W") or []]
+    if len(w) < 3:
+        raise ValueError("bad /W in xref stream")
+    size = int(tdict.get("Size") or 0)
+    index = [int(v) for v in tdict.get("Index") or [0, size]]
+    raw = _stream_bytes(xstm)
+    rowlen = sum(w)
+    off = 0
+
+    def field(row: bytes, k: int) -> int:
+        s = sum(w[:k])
+        return int.from_bytes(row[s : s + w[k]], "big") if w[k] else (
+            1 if k == 0 else 0
+        )
+
+    for si in range(0, len(index) - 1, 2):
+        start, count = index[si], index[si + 1]
+        for k in range(count):
+            row = raw[off : off + rowlen]
+            off += rowlen
+            if len(row) < rowlen:
+                raise ValueError("short xref stream")
+            entries.setdefault(
+                start + k, (field(row, 0), field(row, 1), field(row, 2))
+            )
+
+
 def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict]:
     """Authoritative object load driven by the cross-reference data at
     ``startxref`` — classic ``xref`` tables AND PDF 1.5 xref STREAMS
@@ -409,36 +442,24 @@ def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict]:
                     )
                     i = me.end()
             tdict, _ = _parse_obj(data, i + 7)
+            # hybrid-reference file (PDF 32000 §7.5.8.4): the classic
+            # trailer points at an ADDITIONAL xref stream holding the
+            # ObjStm entries old readers can't see; same-section table
+            # entries take precedence (first-seen wins)
+            xs = tdict.get("XRefStm")
+            if isinstance(xs, int):
+                try:
+                    _, hx = _parse_indirect_at(data, xs)
+                    if isinstance(hx, Stream) and str(hx.dict.get("Type")) == "XRef":
+                        _xref_stream_entries(hx, entries)
+                except ValueError:
+                    pass  # tolerate a broken hybrid stream
         else:
             _, xstm = _parse_indirect_at(data, pos)
             if not isinstance(xstm, Stream) or str(xstm.dict.get("Type")) != "XRef":
                 raise ValueError("startxref does not point at xref data")
             tdict = xstm.dict
-            w = [int(v) for v in tdict.get("W") or []]
-            if len(w) < 3:
-                raise ValueError("bad /W in xref stream")
-            size = int(tdict.get("Size") or 0)
-            index = [int(v) for v in tdict.get("Index") or [0, size]]
-            raw = _stream_bytes(xstm)
-            rowlen = sum(w)
-            off = 0
-
-            def field(row: bytes, k: int) -> int:
-                s = sum(w[:k])
-                return int.from_bytes(row[s : s + w[k]], "big") if w[k] else (
-                    1 if k == 0 else 0
-                )
-
-            for si in range(0, len(index) - 1, 2):
-                start, count = index[si], index[si + 1]
-                for k in range(count):
-                    row = raw[off : off + rowlen]
-                    off += rowlen
-                    if len(row) < rowlen:
-                        raise ValueError("short xref stream")
-                    entries.setdefault(
-                        start + k, (field(row, 0), field(row, 1), field(row, 2))
-                    )
+            _xref_stream_entries(xstm, entries)
         for key, val in tdict.items():
             trailer.setdefault(key, val)
         prev = tdict.get("Prev")
@@ -1469,11 +1490,13 @@ def parse_pdf(data: bytes) -> dict:
         raise ValueError("not a PDF byte-stream")
     objects: dict[int, object] | None = None
     catalog = info = None
+    encrypted = False
     try:
         objects, trailer = _load_via_xref(data)
         resolve = _Resolver(objects)
         catalog = resolve(trailer.get("Root"))
         info = resolve(trailer.get("Info"))
+        encrypted = trailer.get("Encrypt") is not None
     except ValueError:
         objects = None
     if not isinstance(catalog, dict):
@@ -1495,6 +1518,7 @@ def parse_pdf(data: bytes) -> dict:
                 tdict, _ = _parse_obj(data, tpos + 7)
                 catalog = resolve(tdict.get("Root"))
                 info = resolve(tdict.get("Info"))
+                encrypted = encrypted or tdict.get("Encrypt") is not None
             except ValueError:
                 catalog, info = None, None
         if not isinstance(catalog, dict):
@@ -1517,6 +1541,15 @@ def parse_pdf(data: bytes) -> dict:
                 None,
             )
             info = None
+    if encrypted or any(
+        isinstance(v, Stream) and str(v.dict.get("Type")) == "XRef"
+        and v.dict.get("Encrypt") is not None
+        for v in objects.values()
+    ):
+        # decryption is out of scope — a RECORDED parse failure (the
+        # metrics table counts it) beats silently extracting the
+        # ciphertext as garbage glyphs
+        raise ValueError("encrypted PDF (/Encrypt) is not supported")
     if catalog is None:
         raise ValueError("no /Catalog found in PDF")
 

@@ -383,3 +383,41 @@ def test_tounicode_is_load_bearing():
     classic = "".join(parse_pdf(write_pdf(doc))["chars"]["text"])
     assert good == classic  # CMap recovers the identical text
     assert garbled != good  # …and without it the codes are garbage
+
+
+def test_encrypted_pdf_is_recorded_parse_failure():
+    """/Encrypt in the trailer → ValueError (metrics-table failure),
+    never silent ciphertext-as-text extraction."""
+    doc = FAMILIES["plain_paragraphs"]().build()
+    data = write_pdf(doc)
+    enc = data.replace(
+        b"trailer\n<< /Size", b"trailer\n<< /Encrypt 99 0 R /Size"
+    )
+    assert enc != data
+    with pytest.raises(ValueError, match="ncrypt"):
+        parse_pdf(enc)
+
+
+def test_hybrid_reference_xrefstm():
+    """Hybrid file (PDF 32000 §7.5.8.4): classic table for old readers
+    + /XRefStm pointing at an xref STREAM that exposes ObjStm-packed
+    objects. Readers that honor the hybrid stream see the catalog."""
+    doc = FAMILIES["plain_paragraphs"]().build()
+    modern = write_pdf(doc, xref_stream=True)
+    # locate the modern file's xref stream offset
+    sx = modern.rfind(b"startxref")
+    xref_pos = int(modern[sx:].split()[1])
+    # graft a classic trailer AFTER the modern body that marks every
+    # object free in its table but hands the stream offset via /XRefStm
+    size = int(__import__("re").search(rb"/Size (\d+)", modern).group(1))
+    hybrid = bytearray(modern[:sx])
+    tail_xref = len(hybrid)
+    hybrid += (
+        f"xref\n0 1\n0000000000 65535 f \n"
+        f"trailer\n<< /Size {size} /XRefStm {xref_pos} >>\n"
+        f"startxref\n{tail_xref}\n%%EOF\n"
+    ).encode()
+    parsed = parse_pdf(bytes(hybrid))
+    base = parse_pdf(modern)
+    assert parsed["chars"]["text"] == base["chars"]["text"]
+    assert parsed["pages"] == base["pages"]
