@@ -231,7 +231,7 @@ def run_extraction(spark, in_path: str, mode: str = "salted") -> tuple[float, in
     return time.time() - t0, n
 
 
-def bench_queries(spark, trials: int = 3) -> tuple[dict[str, float], dict[str, list]]:
+def bench_queries(spark, trials: int = 4) -> tuple[dict[str, float], dict[str, list]]:
     """Steady-state timing: first execution pays JIT/codegen + parquet
     footer warm-up (measured 7× inflation) — one untimed warm-up run,
     then ``trials`` timed runs per query, INTERLEAVED round-robin
@@ -495,7 +495,7 @@ def main():
     n_turns = materialize_transcripts(spark, in_path)
     run_extraction(spark, in_path)  # warm-up
     ex_trials = []
-    for _ in range(3):
+    for _ in range(4):
         e, n = run_extraction(spark, in_path)
         ex_trials.append(round(e, 3))
     extract_sec = min(ex_trials)
