@@ -10,7 +10,8 @@ Scale posture:
   is the only path that survives 10^9 docs (the brute pair join is
   kept as the small-scale verifier);
 * all hashes are md5-based so Spark and DuckDB agree bit-for-bit —
-  min() over hex strings is engine-independent (lexicographic).
+  minhash seeds use the first 60 bits as BIGINT (HashAggregate-able;
+  see ``_minhash_expr``), exact-dedup fingerprints the hex string.
 """
 
 from __future__ import annotations
@@ -173,16 +174,26 @@ SQL_DEDUP_JACCARD = (
 
 
 # --- MinHash signatures + LSH bands ----------------------------------------------
+# Per-seed hash = the first 15 hex chars of md5(seed|shingle) as a
+# 60-bit BIGINT. Long mins keep the signature aggregation in
+# HashAggregate (a string-buffer min falls back to SortAggregate —
+# a per-partition sort on doc_id at corpus scale) and shrink the
+# partial-agg shuffle rows 4×; conv(hex,16,10) is exact to 60 bits and
+# bit-identical to DuckDB's ('0x' || hex)::BIGINT.
+def _minhash_expr(i: int):
+    F = _F()
+    return F.expr(
+        f"CAST(conv(substr(md5(concat('{i}|', shingle)), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
-    """Per-doc MinHash signature: min(md5(seed|shingle)) per seed —
-    hex-string min is engine-portable; band keys = md5 over
+    """Per-doc MinHash signature: min 60-bit hash per seed (engine-
+    portable, see :func:`_minhash_expr`); band keys = md5 over
     rows-per-band concatenated mins (the LSH bucketing key)."""
     F = _F()
     sh = _shingles_df(spark, sf_dir)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"m{i}")
-        for i in range(N_MINHASH)
-    ]
+    aggs = [F.min(_minhash_expr(i)).alias(f"m{i}") for i in range(N_MINHASH)]
     sig = sh.groupBy("doc_id").agg(*aggs)
     rows_per_band = N_MINHASH // N_BANDS
     band_cols = [
@@ -199,7 +210,8 @@ def q_minhash_signatures(spark, sf_dir):
 
 def _sql_minhash():
     mins = ",\n             ".join(
-        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(N_MINHASH)
+        f"MIN(CAST(('0x' || SUBSTR(md5('{i}|' || shingle), 1, 15)) AS BIGINT)) AS m{i}"
+        for i in range(N_MINHASH)
     )
     rows_per_band = N_MINHASH // N_BANDS
     bands = ",\n           ".join(
@@ -258,7 +270,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def _sql_minhash_lsh():
     rows_per_band = N_MINHASH // N_BANDS
     mins = ",\n             ".join(
-        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(N_MINHASH)
+        f"MIN(CAST(('0x' || SUBSTR(md5('{i}|' || shingle), 1, 15)) AS BIGINT)) AS m{i}"
+        for i in range(N_MINHASH)
     )
     band_exprs = []
     for b in range(N_BANDS):
