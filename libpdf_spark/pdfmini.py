@@ -523,10 +523,115 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _asciihex_decode(data: bytes) -> bytes:
+    body = data.split(b">", 1)[0]
+    hexs = re.sub(rb"\s+", b"", body)
+    if len(hexs) % 2:
+        hexs += b"0"  # odd final digit padded (PDF 32000 §7.4.2)
+    try:
+        return bytes.fromhex(hexs.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ValueError(f"bad ASCIIHexDecode stream: {exc}") from exc
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    body = data.split(b"~>", 1)[0]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    out = bytearray()
+    group: list[int] = []
+    for b in body:
+        if b in b" \t\r\n\f":
+            continue
+        if b == 0x7A:  # 'z' = four zero bytes, only between groups
+            if group:
+                raise ValueError("bad ASCII85Decode stream: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise ValueError(f"bad ASCII85Decode stream: byte {b}")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:  # partial group of n chars → n-1 bytes
+        if len(group) == 1:
+            raise ValueError("bad ASCII85Decode stream: lone trailing char")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= len(data):
+                raise ValueError("bad RunLengthDecode stream: truncated run")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (§7.4.4.2): variable 9-12 bit codes, clear=256,
+    EOD=257, code width grows one entry EARLY when EarlyChange=1 (the
+    default — what Acrobat writes)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad LZWDecode stream: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("bad LZWDecode stream: code out of range")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _stream_bytes(stm: Stream) -> bytes:
-    """Apply stream filters. Unknown filters raise ``ValueError`` so
-    the document is a RECORDED parse failure (ADVICE r1: never return
-    empty text with parse_ok=true for a compressed stream)."""
+    """Apply stream filters (FlateDecode with PNG predictors, LZW,
+    ASCIIHex/ASCII85, RunLength). Unknown filters raise ``ValueError``
+    so the document is a RECORDED parse failure (ADVICE r1: never
+    return empty text with parse_ok=true for a compressed stream)."""
     filt = stm.dict.get("Filter")
     if filt is None:
         return stm.raw
@@ -535,15 +640,29 @@ def _stream_bytes(stm: Stream) -> bytes:
     parms = parms_raw if isinstance(parms_raw, list) else [parms_raw] * len(filters)
     data = stm.raw
     for f, pm in zip(filters, parms):
-        if str(f) == "FlateDecode":
+        name = str(f)
+        if name == "FlateDecode":
             try:
                 data = zlib.decompress(data)
             except zlib.error as exc:
                 raise ValueError(f"bad FlateDecode stream: {exc}") from exc
-            if isinstance(pm, dict) and int(pm.get("Predictor", 1) or 1) >= 10:
-                data = _png_unpredict(data, int(pm.get("Columns", 1) or 1))
+        elif name == "LZWDecode":
+            early = 1
+            if isinstance(pm, dict):
+                early = int(pm.get("EarlyChange", 1) or 0)
+            data = _lzw_decode(data, early)
+        elif name in ("ASCIIHexDecode", "AHx"):
+            data = _asciihex_decode(data)
+        elif name in ("ASCII85Decode", "A85"):
+            data = _ascii85_decode(data)
+        elif name in ("RunLengthDecode", "RL"):
+            data = _runlength_decode(data)
         else:
             raise ValueError(f"unsupported stream filter /{f}")
+        if name in ("FlateDecode", "LZWDecode") and isinstance(pm, dict) and int(
+            pm.get("Predictor", 1) or 1
+        ) >= 10:
+            data = _png_unpredict(data, int(pm.get("Columns", 1) or 1))
     return data
 
 

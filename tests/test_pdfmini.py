@@ -182,7 +182,7 @@ def test_unsupported_filter_is_recorded_parse_failure():
     # ADVICE r1 (medium): an unhandled filter must raise — a recorded
     # parse failure — never parse_ok=true with silently-empty text
     with pytest.raises(ValueError, match="unsupported stream filter"):
-        parse_pdf(_foreign_pdf(FOREIGN_CONTENT, filter_name=b"/LZWDecode"))
+        parse_pdf(_foreign_pdf(FOREIGN_CONTENT, filter_name=b"/JBIG2Decode"))
 
 
 def test_corrupt_flate_stream_raises():
@@ -421,3 +421,111 @@ def test_hybrid_reference_xrefstm():
     base = parse_pdf(modern)
     assert parsed["chars"]["text"] == base["chars"]["text"]
     assert parsed["pages"] == base["pages"]
+
+
+# ---------------------------------------------------------------------------
+# stream filters beyond Flate
+# ---------------------------------------------------------------------------
+
+
+def _pdf_with_filter(content: bytes, encoded: bytes, filter_token: bytes) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+        % (len(encoded), filter_token, encoded),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+CONTENT = b"BT /F1 10 Tf 50 700 Td (Filters) Tj ET"
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Reference PDF-LZW encoder (test-local) — variable 9-12 bit codes."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # clear
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_filter_asciihex():
+    enc = CONTENT.hex().encode() + b">"
+    d = parse_pdf(_pdf_with_filter(CONTENT, enc, b"/ASCIIHexDecode"))
+    assert "".join(d["chars"]["text"]) == "Filters"
+
+
+def test_filter_ascii85():
+    import base64
+
+    enc = base64.a85encode(CONTENT, adobe=True)  # <~ ... ~> framing
+    d = parse_pdf(_pdf_with_filter(CONTENT, enc, b"/ASCII85Decode"))
+    assert "".join(d["chars"]["text"]) == "Filters"
+
+
+def test_filter_runlength():
+    # literal run + repeat run + EOD
+    payload = b"ABC" + b"\x00" * 5
+    enc = bytes([2]) + b"ABC" + bytes([257 - (257 - 252)]) + b"\x00" + bytes([128])
+    from libpdf_spark.pdfmini import _runlength_decode
+
+    assert _runlength_decode(bytes([2]) + b"ABC" + bytes([252]) + b"\x00" + bytes([128])) == payload
+    content_enc = bytes([len(CONTENT) - 1]) + CONTENT + bytes([128])
+    d = parse_pdf(_pdf_with_filter(CONTENT, content_enc, b"/RunLengthDecode"))
+    assert "".join(d["chars"]["text"]) == "Filters"
+
+
+def test_filter_lzw_roundtrip():
+    from libpdf_spark.pdfmini import _lzw_decode
+
+    for data in (CONTENT, b"", b"A" * 1000, bytes(range(256)) * 20,
+                 b"TOBEORNOTTOBEORTOBEORNOT" * 50):
+        assert _lzw_decode(_lzw_encode(data)) == data
+    d = parse_pdf(_pdf_with_filter(CONTENT, _lzw_encode(CONTENT), b"/LZWDecode"))
+    assert "".join(d["chars"]["text"]) == "Filters"
+
+
+def test_filter_chain_a85_then_flate():
+    import base64
+
+    z = zlib.compress(CONTENT)
+    enc = base64.a85encode(z, adobe=True)
+    pdf = _pdf_with_filter(CONTENT, enc, b"[/ASCII85Decode /FlateDecode]")
+    d = parse_pdf(pdf)
+    assert "".join(d["chars"]["text"]) == "Filters"
