@@ -79,13 +79,43 @@ def font_width_millis(fontname: str | None, ch: str) -> int:
 
 
 def decode_pdf_string(raw: bytes) -> str:
-    """Reference decode chain for title/info strings (utils.py:72-84)."""
+    """Reference decode chain for title/info strings (utils.py:72-84).
+
+    The reference falls back to chardet when the UTF decodes fail; the
+    deterministic stand-in here covers chardet's highest-frequency PDF
+    win — BOM-less UTF-16BE (CJK producers that forget the BOM): text
+    whose even-position bytes are predominantly NUL is UTF-16BE for
+    any Latin/BMP script, never latin-1 prose. Everything else keeps
+    the latin-1 fallback (a documented divergence for exotic 8-bit
+    codepages)."""
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be", "replace")
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
-        return raw.decode("latin-1")
+        pass
+    if len(raw) >= 4 and len(raw) % 2 == 0:
+        evens = raw[::2]
+        # Latin-script UTF-16BE: even positions predominantly NUL
+        if evens.count(0) * 2 >= len(evens) and 0 not in raw[1::2]:
+            return raw.decode("utf-16-be", "replace")
+        # CJK UTF-16BE (no NULs at all): every code unit must land in
+        # printable ASCII or a CJK block, with at least one CJK unit —
+        # natural latin-1 prose cannot align every byte PAIR that way
+        try:
+            u16 = raw.decode("utf-16-be")
+        except UnicodeDecodeError:
+            u16 = None
+        if u16 and any(ord(c) >= 0x3000 for c in u16) and all(
+            0x20 <= o < 0x7F
+            or 0x3000 <= o <= 0x30FF   # CJK punct, hiragana, katakana
+            or 0x4E00 <= o <= 0x9FFF   # unified ideographs
+            or 0xAC00 <= o <= 0xD7A3   # hangul syllables
+            or 0xFF00 <= o <= 0xFFEF   # full/half-width forms
+            for o in map(ord, u16)
+        ):
+            return u16
+    return raw.decode("latin-1")
 
 
 def _esc(s: str) -> str:

@@ -529,3 +529,16 @@ def test_filter_chain_a85_then_flate():
     pdf = _pdf_with_filter(CONTENT, enc, b"[/ASCII85Decode /FlateDecode]")
     d = parse_pdf(pdf)
     assert "".join(d["chars"]["text"]) == "Filters"
+
+
+def test_decode_pdf_string_bomless_utf16be():
+    """BOM-less UTF-16BE (CJK producers that drop the BOM) — the
+    chardet-fallback case in the reference, detected deterministically
+    by the NUL-in-even-positions signature."""
+    s = "日本語タイトル"
+    assert decode_pdf_string(s.encode("utf-16-be")) == s
+    mixed = "Title 日本"
+    assert decode_pdf_string(mixed.encode("utf-16-be")) == mixed
+    # plain latin-1 bytes must NOT be mistaken for UTF-16
+    assert decode_pdf_string(b"T\xfcr zum Hof") == "Tür zum Hof"
+    assert decode_pdf_string(b"ab") == "ab"
