@@ -362,6 +362,67 @@ SQL_CORPUS_FILTER = (
 )
 
 
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-K document keywords by TF-IDF — the quality-weighting /
+    topic-sampling feature a training pipeline derives per document.
+
+    Scoring uses the reciprocal-df idf variant computed in EXACT
+    integer arithmetic (``tf · 10⁶ div (df+1)``): like log-idf it is
+    strictly decreasing in df, but the ranking is bit-identical across
+    engines — a 1-ulp ``ln`` difference between Spark's and DuckDB's
+    libm flips ranks on near-ties, so no floats enter the sort key.
+
+    Plan shape: token explode → (doc, token) hash-agg (tf) →
+    groupBy(token) df + equi-join back on token (NOT a window over
+    token: a stop-token's window partition holds every document — the
+    join shuffles on the same key but AQE skew-join splits hot tokens)
+    → per-doc top-K window (bounded by vocabulary-per-doc)."""
+    F = _F()
+    from pyspark.sql import Window
+
+    tok = load_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "token").withColumn(
+        "score_milli", F.expr("CAST(tf AS BIGINT) * 1000000 DIV (df + 1)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "token", "tf", "df", "score_milli", "rank")
+    )
+
+
+SQL_TFIDF = rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * 1000000 // (df.df + 1) AS score_milli
+      FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tf, df, score_milli,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY score_milli DESC, token
+           ) AS rank
+    FROM scored
+    QUALIFY rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "langid": q_langid,
     "quality_score": q_quality_score,
@@ -370,6 +431,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "corpus_filter": q_corpus_filter,
+    "tfidf_keywords": q_tfidf_keywords,
 }
 
 ORACLES = {
@@ -380,4 +442,5 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_filter": SQL_CORPUS_FILTER,
+    "tfidf_keywords": SQL_TFIDF,
 }
