@@ -123,8 +123,14 @@ def main(argv: list[str] | None = None) -> int:
             json.dump(payload, out, indent=2, ensure_ascii=False)
             out.write("\n")
         elif args.output_format == "yaml":
-            from libpdf_spark.yamlmini import dump as yaml_dump
+            from libpdf_spark.yamlmini import FoldedStr, dump as yaml_dump
 
+            # reference parity: table CELL text serializes as a YAML
+            # folded scalar (tables.py:40,193 FoldedStr); other text
+            # keeps the literal-block style
+            for e in payload["elements"]:
+                if "row" in e and e.get("text"):
+                    e["text"] = FoldedStr(e["text"])
             out.write(yaml_dump(payload))
         else:  # jsonl: one element per line (corpus-native)
             for e in payload["elements"]:

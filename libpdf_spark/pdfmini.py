@@ -78,16 +78,83 @@ def font_width_millis(fontname: str | None, ch: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _printable_latin1(raw: bytes) -> bool:
+    """True when every byte could occur in natural latin-1 prose:
+    printable ASCII (0x20-0x7E) or the latin-1 letter/sign range
+    (0xA0-0xFF). C0/C1 control bytes (0x00-0x1F, 0x7F-0x9F) never
+    appear in real titles, so their presence is a deterministic
+    signal that the bytes are NOT latin-1 text."""
+    return all(0x20 <= b < 0x7F or b >= 0xA0 for b in raw)
+
+
+def _cjk_block(o: int) -> bool:
+    return (
+        0x3000 <= o <= 0x30FF      # CJK punct, hiragana, katakana
+        or 0x3400 <= o <= 0x4DBF   # ideograph extension A
+        or 0x4E00 <= o <= 0x9FFF   # unified ideographs
+        or 0xAC00 <= o <= 0xD7A3   # hangul syllables
+        or 0xFF00 <= o <= 0xFFEF   # full/half-width forms
+    )
+
+
+def _try_cjk_8bit(raw: bytes) -> str | None:
+    """Deterministic Shift-JIS / GBK sniff for title bytes that are
+    not UTF-8/UTF-16 (the chardet-fallback case, utils.py:72-84).
+
+    Two signatures, chosen so natural latin-1 prose can never match:
+
+    * a C1 byte (0x7F-0x9F) — impossible in latin-1 prose, but the
+      NORMAL lead-byte range for Shift-JIS kana and common kanji
+      (and GBK's rarer extension region). Prefer Shift-JIS, fall
+      back to GBK; either must decode strictly with every non-ASCII
+      char in a CJK block.
+    * no C1 byte, but a run of >= 6 consecutive bytes in 0xA1-0xFE —
+      the GB2312 all-high-byte region (>= 3 hanzi). Accented latin
+      titles have isolated high bytes, never six in a row.
+
+    Residual (documented) divergence vs chardet: 1-2-character
+    GB2312-only titles and kana-free SJIS-vs-GBK ambiguity.
+    """
+    has_c1 = any(0x7F <= b <= 0x9F for b in raw)
+    if has_c1:
+        # NOTE: half-width katakana (0xFF61-0xFF9F) is deliberately NOT
+        # in the plausibility set — BOM-less UTF-16BE kana bytes (lead
+        # 0x30) decode in SJIS as digit + half-width-katakana soup, and
+        # excluding it routes those strings to the UTF-16BE branch.
+        for codec in ("shift_jis", "gbk"):
+            try:
+                u = raw.decode(codec)
+            except (UnicodeDecodeError, ValueError):
+                continue
+            non_ascii = [ord(c) for c in u if ord(c) >= 0x80]
+            if non_ascii and all(_cjk_block(o) for o in non_ascii):
+                return u
+        return None
+    run = best = 0
+    for b in raw:
+        run = run + 1 if 0xA1 <= b <= 0xFE else 0
+        best = max(best, run)
+    if best >= 6:
+        try:
+            u = raw.decode("gbk")
+        except (UnicodeDecodeError, ValueError):
+            return None
+        non_ascii = [ord(c) for c in u if ord(c) >= 0x80]
+        cjk = sum(_cjk_block(o) for o in non_ascii)
+        if non_ascii and cjk >= 3 and all(_cjk_block(o) for o in non_ascii):
+            return u
+    return None
+
+
 def decode_pdf_string(raw: bytes) -> str:
     """Reference decode chain for title/info strings (utils.py:72-84).
 
     The reference falls back to chardet when the UTF decodes fail; the
-    deterministic stand-in here covers chardet's highest-frequency PDF
-    win — BOM-less UTF-16BE (CJK producers that forget the BOM): text
-    whose even-position bytes are predominantly NUL is UTF-16BE for
-    any Latin/BMP script, never latin-1 prose. Everything else keeps
-    the latin-1 fallback (a documented divergence for exotic 8-bit
-    codepages)."""
+    deterministic stand-ins here cover chardet's highest-frequency PDF
+    wins — BOM-less UTF-16BE (CJK producers that forget the BOM),
+    Shift-JIS, and GBK — each gated on a byte signature that natural
+    latin-1 prose cannot produce. Everything else keeps the latin-1
+    fallback (a documented divergence for exotic 8-bit codepages)."""
     if raw.startswith(b"\xfe\xff"):
         return raw[2:].decode("utf-16-be", "replace")
     try:
@@ -99,22 +166,34 @@ def decode_pdf_string(raw: bytes) -> str:
         # Latin-script UTF-16BE: even positions predominantly NUL
         if evens.count(0) * 2 >= len(evens) and 0 not in raw[1::2]:
             return raw.decode("utf-16-be", "replace")
+    # Shift-JIS / GBK sniff runs BEFORE the BOM-less UTF-16BE CJK
+    # branch: pure double-byte SJIS/GBK bytes reinterpreted as UTF-16BE
+    # land entirely inside the ideograph/hangul windows, so the strict
+    # 8-bit decode (a stronger signature) must get first claim. Kana-
+    # bearing UTF-16BE is unaffected — its 0x30 lead bytes are invalid
+    # GBK trails and decode in SJIS only as half-width-katakana soup,
+    # which the sniff rejects.
+    sniffed = _try_cjk_8bit(raw)
+    if sniffed is not None:
+        return sniffed
+    if len(raw) >= 4 and len(raw) % 2 == 0 and not _printable_latin1(raw):
         # CJK UTF-16BE (no NULs at all): every code unit must land in
-        # printable ASCII or a CJK block, with at least one CJK unit —
-        # natural latin-1 prose cannot align every byte PAIR that way
+        # printable ASCII or a CJK block with a MAJORITY of CJK units,
+        # and the bytes must NOT all be printable latin-1 — pairs of
+        # printable latin-1 letters (e.g. b"caf\\xe9") land inside the
+        # ideograph window, so an all-printable string is kept as
+        # latin-1 prose (ADVICE r3: 'café'/'Résumé' regression).
         try:
             u16 = raw.decode("utf-16-be")
         except UnicodeDecodeError:
             u16 = None
-        if u16 and any(ord(c) >= 0x3000 for c in u16) and all(
-            0x20 <= o < 0x7F
-            or 0x3000 <= o <= 0x30FF   # CJK punct, hiragana, katakana
-            or 0x4E00 <= o <= 0x9FFF   # unified ideographs
-            or 0xAC00 <= o <= 0xD7A3   # hangul syllables
-            or 0xFF00 <= o <= 0xFFEF   # full/half-width forms
-            for o in map(ord, u16)
-        ):
-            return u16
+        if u16:
+            codes = [ord(c) for c in u16]
+            n_cjk = sum(_cjk_block(o) for o in codes)
+            if n_cjk * 2 >= len(codes) and all(
+                0x20 <= o < 0x7F or _cjk_block(o) for o in codes
+            ):
+                return u16
     return raw.decode("latin-1")
 
 
@@ -667,7 +746,14 @@ def _stream_bytes(stm: Stream) -> bytes:
         return stm.raw
     filters = filt if isinstance(filt, list) else [filt]
     parms_raw = stm.dict.get("DecodeParms") or stm.dict.get("DP")
-    parms = parms_raw if isinstance(parms_raw, list) else [parms_raw] * len(filters)
+    if isinstance(parms_raw, list):
+        # normalize to exactly len(filters) entries: a malformed short
+        # /DecodeParms array must NOT truncate the filter chain via zip
+        # (ADVICE r3 — trailing filters were silently skipped, returning
+        # compressed bytes as "decoded" content with parse_ok=true)
+        parms = (parms_raw + [None] * len(filters))[: len(filters)]
+    else:
+        parms = [parms_raw] * len(filters)
     data = stm.raw
     for f, pm in zip(filters, parms):
         name = str(f)

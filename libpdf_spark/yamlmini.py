@@ -21,6 +21,15 @@ from __future__ import annotations
 
 import re
 
+
+class FoldedStr(str):
+    """Marker for strings the reference emits as YAML *folded* scalars
+    (``>`` style) — table cell text (``reference/libpdf/tables.py:40,
+    193`` wraps cell text in ruamel's ``FoldedScalarString``). Content
+    newlines are represented as blank lines, per the folding rules, so
+    the text loads back byte-identical. (Divergence, styling only: no
+    width-based line folding.)"""
+
 _PLAIN_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_ .\-/()]*$")
 # words YAML would resolve to something other than a string
 _RESERVED = {
@@ -64,6 +73,26 @@ def _scalar(v) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _folded_block(s: str, indent: str) -> list[str]:
+    """Multi-line string → folded block scalar lines (``>`` style).
+    A content newline becomes a blank separator line (folded style
+    joins adjacent non-blank lines with a space)."""
+    chomp = "" if s.endswith("\n") else "-"
+    body = s[:-1] if s.endswith("\n") else s
+    lines = body.split("\n")
+    # folded blocks cannot represent trailing/leading spaces on lines,
+    # internal blank lines (ambiguous with the separator), or spaces
+    # inside a line that would re-fold; quote those instead
+    if any(ln != ln.strip() or not ln for ln in lines):
+        raise ValueError("not folded-block-safe")
+    out = [f">{chomp}"]
+    for i, ln in enumerate(lines):
+        if i:
+            out.append("")
+        out.append(f"{indent}{ln}")
+    return out
+
+
 def _literal_block(s: str, indent: str) -> list[str]:
     """Multi-line string → literal block scalar lines."""
     chomp = "" if s.endswith("\n") else "-"
@@ -97,6 +126,14 @@ def _emit(v, indent: int, lines: list[str], inline_key: str | None) -> None:
         for item in v:
             _emit_seq_item(item, indent + 2, lines)
     else:
+        if isinstance(v, FoldedStr):
+            try:
+                block = _folded_block(v, " " * (indent + 2))
+                lines.append(f"{pad}{inline_key} {block[0]}")
+                lines.extend(block[1:])
+                return
+            except ValueError:
+                pass  # fall through to literal/quoted handling
         if isinstance(v, str) and "\n" in v:
             try:
                 block = _literal_block(v, " " * (indent + 2))
@@ -133,7 +170,21 @@ def _emit_seq_item(v, indent: int, lines: list[str]) -> None:
         lines.append(f"{pad}-")
         for item in v:
             _emit_seq_item(item, indent + 2, lines)
+    elif isinstance(v, dict):
+        # empty dict/list as a sequence item: flow form, NOT the quoted
+        # string '{}' (ADVICE r3 — must load back as a container)
+        lines.append(f"{pad}- {{}}")
+    elif isinstance(v, (list, tuple)):
+        lines.append(f"{pad}- []")
     else:
+        if isinstance(v, FoldedStr):
+            try:
+                block = _folded_block(v, " " * (indent + 2))
+                lines.append(f"{pad}- {block[0]}")
+                lines.extend(block[1:])
+                return
+            except ValueError:
+                pass
         if isinstance(v, str) and "\n" in v:
             try:
                 block = _literal_block(v, " " * (indent + 2))

@@ -142,3 +142,46 @@ def test_f2_anno_noise_filter_all_encodings():
     arr = CharArrays.from_payload(dirty["chars"])
     assert not any(t in (" ", "\n") for t in arr.text)
     assert len(arr) == len(doc["chars"])
+
+
+def test_f2_real_space_glyph_word_segmentation():
+    """ADVICE r3 divergence coverage: a producer that serializes REAL
+    space glyphs (nonzero-width geometry spanning an inter-word gap)
+    loses those rows to F2 — but gap-based word segmentation
+    reconstructs the identical words/text, so extraction is unchanged.
+    This is the documented text-keyed-filter divergence vs the
+    reference's object_type=='anno'-keyed delete_page_ann."""
+    import copy
+
+    from libpdf_spark.fixtures import FAMILIES
+    from libpdf_spark.kernel.document import extract_document
+
+    doc = FAMILIES["plain_paragraphs"]().build()
+    clean = extract_document(copy.deepcopy(doc), DEFAULT_CONFIG)
+
+    # find inter-word gaps on real lines and fill them with space
+    # glyphs carrying true geometry (x0=left.x1, x1=right.x0)
+    dirty = copy.deepcopy(doc)
+    by_line: dict = {}
+    for c in dirty["chars"]:
+        by_line.setdefault((c["page"], round(c["y0"], 2)), []).append(c)
+    space_glyphs = []
+    for chars in by_line.values():
+        chars.sort(key=lambda c: c["x0"])
+        for left, right in zip(chars, chars[1:]):
+            gap = right["x0"] - left["x1"]
+            if gap > 1.0:  # a word gap, not kerning
+                space_glyphs.append({
+                    "page": left["page"], "text": " ",
+                    "x0": float(left["x1"]), "y0": float(left["y0"]),
+                    "x1": float(right["x0"]), "y1": float(left["y1"]),
+                    "fontname": left["fontname"], "ncolor": left["ncolor"],
+                })
+    assert len(space_glyphs) > 10  # the fixture has real word gaps
+    dirty["chars"] = dirty["chars"] + space_glyphs
+
+    got = extract_document(dirty, DEFAULT_CONFIG)
+    assert got.extracted_text == clean.extracted_text
+    assert [(e.uid, e.text) for e in got.elements] == [
+        (e.uid, e.text) for e in clean.elements
+    ]

@@ -88,3 +88,68 @@ def test_cli_yaml_output(tmp_path):
     assert "\nelements:\n" in text
     assert "\n    - uid: " in text or "\n  - uid: " in text
     assert "extracted_text: |" in text
+
+
+def test_empty_containers_in_sequences():
+    """ADVICE r3: empty dict/list as SEQUENCE items must load back as
+    containers, not the strings '{}' / '[]'."""
+    out = dump({"a": [{}, [], "x"]})
+    assert out == "a:\n  - {}\n  - []\n  - x\n"
+    try:
+        import yaml
+    except ImportError:
+        return
+    assert yaml.safe_load(out) == {"a": [{}, [], "x"]}
+    assert yaml.safe_load(dump([[], {}])) == [[], {}]
+    assert yaml.safe_load(dump({"m": {}, "l": []})) == {"m": {}, "l": []}
+
+
+def test_folded_scalar_cells():
+    """Reference parity: cell text is a YAML *folded* scalar
+    (tables.py:40,193 FoldedStr); content newlines become blank
+    separator lines and load back byte-identical."""
+    from libpdf_spark.yamlmini import FoldedStr
+
+    out = dump({"cells": [{"text": FoldedStr("Henry\ncavill"), "row": 1}]})
+    assert out == (
+        "cells:\n  - text: >-\n      Henry\n\n      cavill\n    row: 1\n"
+    )
+    assert dump({"t": FoldedStr("single")}) == "t: >-\n  single\n"
+    # not folded-block-safe (leading space) -> quoted fallback
+    assert dump({"t": FoldedStr(" lead")}) == "t: ' lead'\n"
+    try:
+        import yaml
+    except ImportError:
+        return
+    assert yaml.safe_load(out)["cells"][0]["text"] == "Henry\ncavill"
+    assert yaml.safe_load(dump([FoldedStr("a\nb")])) == ["a\nb"]
+    assert yaml.safe_load(dump({"t": FoldedStr("x\ny\nz")})) == {"t": "x\ny\nz"}
+
+
+def test_cli_yaml_cell_text_folded(tmp_path):
+    """Ruled-table document: YAML cell text uses the folded (>) style
+    and loads back identical to the JSON output (VERDICT r3 ask #6)."""
+    import json as _json
+
+    from libpdf_spark.__main__ import main
+    from libpdf_spark.fixtures import FAMILIES
+    from libpdf_spark.pdfmini import write_pdf
+
+    pdf = tmp_path / "doc.pdf"
+    pdf.write_bytes(write_pdf(FAMILIES["merged_cells"]().build(), compress=True))
+    yml = tmp_path / "out.yaml"
+    jsn = tmp_path / "out.json"
+    assert main([str(pdf), "-of", "yaml", "-o", str(yml)]) == 0
+    assert main([str(pdf), "-of", "json", "-o", str(jsn)]) == 0
+    text = yml.read_text()
+    assert "text: >-" in text or "text: >" in text  # folded cells present
+    try:
+        import yaml
+    except ImportError:
+        return
+    got = yaml.safe_load(text)
+    want = _json.loads(jsn.read_text())
+    cells_y = [e for e in got["elements"] if "row" in e]
+    cells_j = [e for e in want["elements"] if "row" in e]
+    assert cells_y and [c["text"] for c in cells_y] == [c["text"] for c in cells_j]
+    assert got == want
