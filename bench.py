@@ -174,12 +174,21 @@ def materialize_transcripts(
     )
     fix_pdf, _, _ = gen_transcripts(n_convs=100, seed=42)
     fix_part = spark.createDataFrame(fix_pdf)
-    # Fine row groups (8 MB) = fine scan splits = many short UDF tasks.
-    # The map-side extraction stage's parallelism IS the split count;
-    # with 3GB/96 splits the stage ran 3 waves of ~2.3 s tasks at
-    # local[32] and the last-wave straggler tail cost ~20% wall
-    # (measured r3); 8 MB row groups give ~12 waves of ~0.6 s tasks.
-    corpus = docs_part.unionByName(fix_part).repartition(96)
+    # One corpus FILE = one UDF task (make_session pins openCostInBytes
+    # = maxPartitionBytes so files never pack), so the file count IS
+    # the extraction stage's parallelism. Size it to the corpus
+    # (measured r4 A/B on the 5,731-turn headline corpus at local[32]:
+    # 96 × ~73 KB files = 96 trivial tasks dominated by per-task
+    # Arrow/worker overhead, 1.254 s; 32 packed splits, 0.749 s — the
+    # whole BENCH_r03 extract_turns regression):
+    # * floor: one file per core of the largest level (32) — a single
+    #   wave that fills the machine;
+    # * grow with corpus size (~300 turns/file ≈ >= 1 MB parquet) up
+    #   to 96 (3 straggler-smoothing waves at 32c, 12 at 8c) — the r3
+    #   measured optimum for the 30,731-turn scaling corpus.
+    n_turns_est = docs_part.count() + fix_part.count()
+    n_files = min(96, max(32, -(-n_turns_est // 300)))
+    corpus = docs_part.unionByName(fix_part).repartition(n_files)
     corpus.write.mode("overwrite").option(
         "parquet.block.size", str(8 * 1024 * 1024)
     ).parquet(path)
@@ -335,7 +344,7 @@ def main():
         spark.stop()
         return
     os.makedirs(WORK, exist_ok=True)
-    in_path = os.path.join(WORK, "transcripts_v4")
+    in_path = os.path.join(WORK, "transcripts_v5")
 
     if "--scaling-level" in sys.argv:
         # child process: one parallelism level, one JVM, pinned cores
@@ -373,7 +382,7 @@ def main():
 
         replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "6"))
         text_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_REPEAT", "4"))
-        in_path = os.path.join(WORK, f"transcripts_v4_x{replicate}_t{text_repeat}")
+        in_path = os.path.join(WORK, f"transcripts_v5_x{replicate}_t{text_repeat}")
         spark = make_session(CPUS)
         n_turns = materialize_transcripts(
             spark, in_path, replicate=replicate, text_repeat=text_repeat
@@ -503,6 +512,18 @@ def main():
     qtimes["extract_turns"] = round(extract_sec, 3)
     qtrials["extract_turns"] = ex_trials
     total = round(sum(qtimes.values()), 3)
+    # second scale point (VERDICT r3 ask #4): the 6×-replicated /
+    # 4×-text corpus (~30k turns, ~140 MB) — flagship throughput where
+    # per-job fixed overhead is amortized, so a headline regression is
+    # attributable (overhead vs kernel) from this artifact alone
+    big_path = os.path.join(WORK, "transcripts_v5_x6_t4")
+    n_big = materialize_transcripts(spark, big_path, replicate=6, text_repeat=4)
+    run_extraction(spark, big_path)  # warm-up
+    big_trials = []
+    for _ in range(4):
+        e, _nb = run_extraction(spark, big_path)
+        big_trials.append(round(e, 3))
+    big_sec = min(big_trials)
     print(
         json.dumps(
             {
@@ -514,6 +535,12 @@ def main():
                 "sf": SF_DIR,
                 "turns": n,
                 "turns_per_sec": round(n / extract_sec, 1),
+                "big_corpus": {
+                    "turns": n_big,
+                    "extract_sec": big_sec,
+                    "trials": big_trials,
+                    "turns_per_sec": round(n_big / big_sec, 1),
+                },
             }
         )
     )
