@@ -197,6 +197,400 @@ def decode_pdf_string(raw: bytes) -> str:
     return raw.decode("latin-1")
 
 
+# ---------------------------------------------------------------------------
+# encryption — standard security handler (PDF 32000 §7.6.2-7.6.3)
+#
+# Covers the by-far-most-common real-world case: "print-protected"
+# documents whose USER password is empty (RC4 /V 1-2 /R 2-3 and
+# AES-128 /V 4 /R 4 /CFM /AESV2). The reference opens these through
+# pdfminer's PDFStandardSecurityHandler (reference/libpdf/extract.py:96
+# → pdfplumber → pdfminer); here the handler is hand-rolled from the
+# public spec on stdlib hashlib + pure-Python RC4/AES (slow is fine —
+# encrypted documents are rare per batch, and correctness beats speed
+# for a recorded-failure-vs-extraction decision). Anything else
+# (V5/AES-256, non-empty user password, unknown /CFM) remains a
+# RECORDED parse failure, never silent garbage.
+# ---------------------------------------------------------------------------
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _xtime(a: int) -> int:
+    return ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else a << 1
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = _xtime(a)
+        b >>= 1
+    return p
+
+
+def _build_sboxes() -> tuple[list[int], list[int]]:
+    """AES S-box computed from first principles (FIPS-197 §5.1.1):
+    multiplicative inverse in GF(2^8) followed by the affine map."""
+    exp, log = [0] * 256, [0] * 256
+    a = 1
+    for i in range(255):
+        exp[i] = a
+        log[a] = i
+        a ^= _xtime(a)  # multiply by the generator 0x03
+    exp[255] = exp[0]  # g^255 = g^0 — hit when log[x] == 0 (x == 1)
+    sbox = [0] * 256
+    for i in range(256):
+        inv = 0 if i == 0 else exp[255 - log[i]]
+        s, b = inv, inv
+        for _ in range(4):
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            s ^= b
+        sbox[i] = s ^ 0x63
+    inv_sbox = [0] * 256
+    for i, v in enumerate(sbox):
+        inv_sbox[v] = i
+    return sbox, inv_sbox
+
+
+_SBOX, _INV_SBOX = _build_sboxes()
+
+
+def _aes_key_expand(key: bytes) -> list[list[int]]:
+    """AES-128 key schedule → 11 flat 16-byte round keys
+    (column-major, matching the state layout)."""
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = [_SBOX[b] for b in t[1:] + t[:1]]
+            t[0] ^= rcon
+            rcon = _xtime(rcon)
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+
+def _aes_enc_block(rks: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rks[0])]
+    for rnd in range(1, 11):
+        s = [_SBOX[b] for b in s]
+        # ShiftRows on the column-major flat state: row r rotates left r
+        s = [s[4 * ((i // 4 + i % 4) % 4) + i % 4] for i in range(16)]
+        if rnd < 10:
+            ns = []
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                t = a[0] ^ a[1] ^ a[2] ^ a[3]
+                ns += [a[i] ^ t ^ _xtime(a[i] ^ a[(i + 1) % 4]) for i in range(4)]
+            s = ns
+        s = [b ^ k for b, k in zip(s, rks[rnd])]
+    return bytes(s)
+
+
+def _aes_dec_block(rks: list[list[int]], block: bytes) -> bytes:
+    s = [b ^ k for b, k in zip(block, rks[10])]
+    for rnd in range(9, -1, -1):
+        # InvShiftRows: row r rotates right r
+        s = [s[4 * ((i // 4 - i % 4) % 4) + i % 4] for i in range(16)]
+        s = [_INV_SBOX[b] for b in s]
+        s = [b ^ k for b, k in zip(s, rks[rnd])]
+        if rnd > 0:
+            ns = []
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                ns += [
+                    _gmul(a[i], 14)
+                    ^ _gmul(a[(i + 1) % 4], 11)
+                    ^ _gmul(a[(i + 2) % 4], 13)
+                    ^ _gmul(a[(i + 3) % 4], 9)
+                    for i in range(4)
+                ]
+            s = ns
+    return bytes(s)
+
+
+def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    rks = _aes_key_expand(key)
+    pad = 16 - len(data) % 16
+    data += bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(d ^ p for d, p in zip(data[i : i + 16], prev))
+        prev = _aes_enc_block(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("bad AES-CBC ciphertext length")
+    rks = _aes_key_expand(key)
+    out = bytearray()
+    prev = data[:16]
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(d ^ p for d, p in zip(_aes_dec_block(rks, blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise ValueError("bad AES-CBC padding")
+    return bytes(out[:-pad])
+
+
+class _StdSecurity:
+    """Standard security handler, EMPTY user password only.
+
+    Algorithms 2/3/4/5 of PDF 32000 §7.6.3. ``ValueError`` on any
+    unsupported shape (V>=5, non-Standard filter, unknown /CFM, or a
+    /U that does not verify against the empty password) — the caller
+    records a parse failure."""
+
+    def __init__(self, enc: dict | None, id0: bytes):
+        import hashlib
+
+        if not isinstance(enc, dict) or str(enc.get("Filter")) != "Standard":
+            raise ValueError("encrypted PDF: unsupported security handler")
+        self.v = int(enc.get("V") or 0)
+        self.r = int(enc.get("R") or 0)
+        if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
+            raise ValueError(f"encrypted PDF: unsupported V={self.v} R={self.r}")
+        o, u = enc.get("O"), enc.get("U")
+        if not (isinstance(o, bytes) and isinstance(u, bytes)):
+            raise ValueError("encrypted PDF: malformed /O or /U")
+        p = int(enc.get("P") or 0)
+        length = int(enc.get("Length") or 40)
+        self.cfm = "V2"  # RC4
+        if self.v == 4:
+            cf = enc.get("CF") or {}
+            std = cf.get(Name("StdCF")) or cf.get("StdCF") or {}
+            cfm = str(std.get("CFM") or "")
+            if cfm == "AESV2":
+                self.cfm = "AESV2"
+                # crypt-filter /Length is in BYTES (§7.6.5); tolerate
+                # producers that write bits
+                lb = int(std.get("Length") or 16)
+                length = lb if lb > 32 else 8 * lb
+            elif cfm != "V2":
+                raise ValueError(f"encrypted PDF: unsupported /CFM {cfm}")
+            for f in ("StmF", "StrF"):
+                v = str(enc.get(f) or "Identity")
+                if v not in ("StdCF", "Identity"):
+                    raise ValueError(f"encrypted PDF: unsupported /{f} {v}")
+        n = 5 if self.r == 2 else max(5, min(16, length // 8))
+        # Algorithm 2 with the empty user password
+        h = hashlib.md5(
+            _PAD + o[:32] + p.to_bytes(4, "little", signed=True) + id0
+        )
+        if self.r >= 4 and enc.get("EncryptMetadata") is False:
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        if self.r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        self.key = key[:n]
+        # verify /U against the empty user password (Algorithms 4/5/6)
+        if self.r == 2:
+            ok = _rc4(self.key, _PAD) == u[:32]
+        else:
+            x = _rc4(self.key, hashlib.md5(_PAD + id0).digest())
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in self.key), x)
+            ok = x == u[:16]
+        if not ok:
+            raise ValueError("encrypted PDF: non-empty user password")
+
+    def _obj_key(self, num: int) -> bytes:
+        import hashlib
+
+        salt = b"sAlT" if self.cfm == "AESV2" else b""
+        k = hashlib.md5(
+            self.key + num.to_bytes(3, "little") + b"\x00\x00" + salt
+        ).digest()
+        return k[: min(len(self.key) + 5, 16)]
+
+    def decrypt_bytes(self, data: bytes, num: int) -> bytes:
+        k = self._obj_key(num)
+        return _aes_cbc_decrypt(k, data) if self.cfm == "AESV2" else _rc4(k, data)
+
+    def encrypt_bytes(self, data: bytes, num: int) -> bytes:
+        import hashlib
+
+        k = self._obj_key(num)
+        if self.cfm == "AESV2":
+            iv = hashlib.md5(b"iv" + num.to_bytes(4, "little") + self.key).digest()
+            return _aes_cbc_encrypt(k, data, iv)
+        return _rc4(k, data)
+
+
+def _make_encrypt_dict(mode: str, id0: bytes) -> tuple[bytes, "_StdSecurity"]:
+    """Writer side: build the /Encrypt dictionary for an empty user +
+    empty owner password (Algorithms 2/3/5) and the matching handler.
+    ``mode``: ``"rc4"`` (V2/R3/128-bit) or ``"aes"`` (V4/R4/AESV2)."""
+    import hashlib
+
+    if mode not in ("rc4", "aes"):
+        raise ValueError(f"unsupported encrypt mode {mode!r}")
+    p = -1
+    n = 16  # 128-bit
+    # Algorithm 3: /O from the (empty) owner password
+    d = hashlib.md5(_PAD).digest()
+    for _ in range(50):
+        d = hashlib.md5(d[:n]).digest()
+    okey = d[:n]
+    o = _rc4(okey, _PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    # Algorithm 2: file key from the (empty) user password
+    key = hashlib.md5(
+        _PAD + o + p.to_bytes(4, "little", signed=True) + id0
+    ).digest()
+    for _ in range(50):
+        key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    # Algorithm 5: /U
+    u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+    common = f"/O <{o.hex().upper()}> /U <{u.hex().upper()}> /P {p}"
+    if mode == "rc4":
+        body = f"<< /Filter /Standard /V 2 /R 3 /Length 128 {common} >>"
+        enc = {"Filter": Name("Standard"), "V": 2, "R": 3, "Length": 128,
+               "O": o, "U": u, "P": p}
+    else:
+        body = (
+            "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF {common} >>"
+        )
+        enc = {"Filter": Name("Standard"), "V": 4, "R": 4, "Length": 128,
+               "O": o, "U": u, "P": p,
+               "CF": {"StdCF": {"CFM": Name("AESV2"), "Length": 16}},
+               "StmF": Name("StdCF"), "StrF": Name("StdCF")}
+    return body.encode("ascii"), _StdSecurity(enc, id0)
+
+
+def _transform_strings(body: bytes, fn) -> bytes:
+    """Rewrite every string token in a SERIALIZED object body with
+    ``fn(raw_bytes) -> bytes`` (re-emitted as hex strings). Walks the
+    token structure so dict delimiters (``<<``/``>>``), names, and
+    nested parens are never mistaken for strings."""
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == 0x28:  # (
+            raw, j = _parse_lit_string(body, i)
+            out += b"<" + fn(raw).hex().upper().encode("ascii") + b">"
+            i = j
+        elif c == 0x3C:  # <
+            if i + 1 < n and body[i + 1] == 0x3C:
+                out += b"<<"
+                i += 2
+            else:
+                raw, j = _parse_hex_string(body, i)
+                out += b"<" + fn(raw).hex().upper().encode("ascii") + b">"
+                i = j
+        elif c == 0x3E and i + 1 < n and body[i + 1] == 0x3E:  # >>
+            out += b">>"
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _encrypt_object_body(body: bytes, num: int, sec: "_StdSecurity") -> bytes:
+    """Encrypt a serialized object: the stream payload (patching
+    /Length) and every string in the dictionary part."""
+    crypt = lambda raw: sec.encrypt_bytes(raw, num)  # noqa: E731
+    if body.endswith(b"endstream"):
+        k = body.find(b">>\nstream\n")
+        if k < 0:
+            raise ValueError("unrecognized stream serialization")
+        dictpart = _transform_strings(body[: k + 2], crypt)
+        payload = body[k + len(b">>\nstream\n") : -len(b"\nendstream")]
+        enc = crypt(payload)
+        dictpart = re.sub(
+            rb"/Length \d+", b"/Length %d" % len(enc), dictpart, count=1
+        )
+        return dictpart + b"\nstream\n" + enc + b"\nendstream"
+    return _transform_strings(body, crypt)
+
+
+def _decrypt_value(v, num: int, sec: "_StdSecurity"):
+    """Recursively decrypt every string (bytes) and stream payload of a
+    parsed top-level object. ``Name`` is a str subclass, never bytes,
+    so name tokens pass through untouched."""
+    if isinstance(v, bytes):
+        return sec.decrypt_bytes(v, num)
+    if isinstance(v, list):
+        return [_decrypt_value(x, num, sec) for x in v]
+    if isinstance(v, Stream):
+        return Stream(
+            {k: _decrypt_value(x, num, sec) for k, x in v.dict.items()},
+            sec.decrypt_bytes(v.raw, num),
+        )
+    if isinstance(v, dict):
+        return {k: _decrypt_value(x, num, sec) for k, x in v.items()}
+    return v
+
+
+def _decrypt_all_objects(objects: dict, trailer: dict) -> bool:
+    """Decrypt every loaded top-level object in place per the trailer's
+    /Encrypt dictionary (empty user password). Returns True on
+    success; raises ``ValueError`` for unsupported handlers. The
+    /Encrypt object itself and xref streams are never encrypted
+    (PDF 32000 §7.5.8.2) and are skipped."""
+    encref = trailer.get("Encrypt")
+    if encref is None:
+        return False
+    skip: set[int] = set()
+    enc = encref
+    if isinstance(encref, Ref):
+        enc = objects.get(encref.num)
+        skip.add(encref.num)
+    ids = trailer.get("ID")
+    id0 = (
+        ids[0]
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
+        else b""
+    )
+    sec = _StdSecurity(enc if isinstance(enc, dict) else None, id0)
+    for num, v in list(objects.items()):
+        if num in skip:
+            continue
+        if isinstance(v, Stream) and str(v.dict.get("Type")) == "XRef":
+            continue
+        objects[num] = _decrypt_value(v, num, sec)
+    return True
+
+
 def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
@@ -507,7 +901,7 @@ def _xref_stream_entries(
             )
 
 
-def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict]:
+def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict, bool]:
     """Authoritative object load driven by the cross-reference data at
     ``startxref`` — classic ``xref`` tables AND PDF 1.5 xref STREAMS
     (``/Type /XRef``: /W field-width decoding, /Index subsections,
@@ -516,7 +910,11 @@ def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict]:
     is read first). Type-2 entries load their object from the owning
     ``/Type /ObjStm`` object stream. Raises ``ValueError`` when the
     xref data is missing or malformed; :func:`parse_pdf` then falls
-    back to the tolerant sequential scan."""
+    back to the tolerant sequential scan. When the trailer carries
+    /Encrypt, all objects are decrypted (empty-user-password standard
+    security handler) BEFORE ObjStm expansion — ObjStm payloads are
+    themselves encrypted streams; third return value reports whether
+    decryption ran."""
     sx = data.rfind(b"startxref")
     if sx < 0:
         raise ValueError("no startxref")
@@ -588,11 +986,12 @@ def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict]:
                 objects[num] = val
         elif typ == 2:
             in_streams.setdefault(f2, []).append(num)
+    decrypted = _decrypt_all_objects(objects, trailer)
     for snum in in_streams:
         stm = objects.get(snum)
         if isinstance(stm, Stream) and str(stm.dict.get("Type")) == "ObjStm":
             _expand_objstm(stm, objects)
-    return objects, trailer
+    return objects, trailer, decrypted
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
@@ -831,6 +1230,7 @@ def write_pdf(
     compress: bool = False,
     xref_stream: bool = False,
     custom_encoding: bool = False,
+    encrypt: str | None = None,
 ) -> bytes:
     """Layout-payload dict (markup schema) → PDF bytes.
 
@@ -848,6 +1248,13 @@ def write_pdf(
     rows, no ``trailer`` keyword) — the post-2005-producer layout. A
     sequential scanner cannot see the packed objects, so round-tripping
     such a file exercises the parser's real xref-stream + ObjStm path.
+
+    ``encrypt="rc4"|"aes"`` writes the file encrypted under the
+    standard security handler with EMPTY user and owner passwords
+    (RC4 V2/R3/128-bit or AES-128 V4/R4/AESV2): every string and
+    stream is enciphered with the per-object key, /Encrypt + /ID land
+    in the trailer. Only the classic-xref serialization supports it
+    (combining with ``xref_stream`` raises).
 
     ``custom_encoding=True`` writes every font with a deliberately
     NON-identity single-byte encoding: char codes are assigned
@@ -1245,6 +1652,27 @@ def write_pdf(
         cat_parts.append(f"/Dests {dests_num} 0 R")
     catalog_num = add(f"<< {' '.join(cat_parts)} >>".encode())
 
+    enc_num = None
+    fid_hex = ""
+    if encrypt:
+        if xref_stream:
+            raise ValueError(
+                "encrypt is not supported with xref_stream serialization"
+            )
+        import hashlib
+
+        id0 = hashlib.md5(
+            b"libpdf-file-id"
+            + str(len(objects)).encode()
+            + repr(sorted(meta.items())).encode("utf-8", "replace")
+        ).digest()
+        enc_body, sec = _make_encrypt_dict(encrypt, id0)
+        for i, obj in enumerate(objects):
+            if obj is not None:
+                objects[i] = _encrypt_object_body(obj, i + 1, sec)
+        enc_num = add(enc_body)  # the /Encrypt dict itself stays plaintext
+        fid_hex = id0.hex().upper()
+
     if xref_stream:
         # --- PDF 1.5 serialization: ObjStm-packed objects + xref STREAM ---
         out = bytearray(b"%PDF-1.5\n")
@@ -1316,6 +1744,8 @@ def write_pdf(
     trailer = f"<< /Size {len(objects) + 1} /Root {catalog_num} 0 R"
     if info_num:
         trailer += f" /Info {info_num} 0 R"
+    if enc_num:
+        trailer += f" /Encrypt {enc_num} 0 R /ID [<{fid_hex}> <{fid_hex}>]"
     trailer += " >>"
     out += f"trailer\n{trailer}\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
@@ -1725,15 +2155,16 @@ def parse_pdf(data: bytes) -> dict:
         raise ValueError("not a PDF byte-stream")
     objects: dict[int, object] | None = None
     catalog = info = None
-    encrypted = False
+    encrypted = decrypted = False
     try:
-        objects, trailer = _load_via_xref(data)
+        objects, trailer, decrypted = _load_via_xref(data)
         resolve = _Resolver(objects)
         catalog = resolve(trailer.get("Root"))
         info = resolve(trailer.get("Info"))
         encrypted = trailer.get("Encrypt") is not None
     except ValueError:
         objects = None
+        decrypted = False
     if not isinstance(catalog, dict):
         objects, catalog, info = None, None, None
     if objects is None:
@@ -1751,11 +2182,31 @@ def parse_pdf(data: bytes) -> dict:
         if tpos >= 0:
             try:
                 tdict, _ = _parse_obj(data, tpos + 7)
-                catalog = resolve(tdict.get("Root"))
-                info = resolve(tdict.get("Info"))
-                encrypted = encrypted or tdict.get("Encrypt") is not None
             except ValueError:
-                catalog, info = None, None
+                tdict = None
+            if isinstance(tdict, dict):
+                encrypted = encrypted or tdict.get("Encrypt") is not None
+                if tdict.get("Encrypt") is not None:
+                    # scan-path decryption: the earlier blind ObjStm
+                    # expansion saw ciphertext (tolerated); decrypt the
+                    # top-level objects, then re-expand. Unsupported
+                    # handlers raise out of here → recorded failure.
+                    decrypted = _decrypt_all_objects(objects, tdict)
+                    for v in list(objects.values()):
+                        if (
+                            isinstance(v, Stream)
+                            and str(v.dict.get("Type")) == "ObjStm"
+                        ):
+                            try:
+                                _expand_objstm(v, objects)
+                            except ValueError:
+                                pass
+                    resolve = _Resolver(objects)
+                try:
+                    catalog = resolve(tdict.get("Root"))
+                    info = resolve(tdict.get("Info"))
+                except ValueError:
+                    catalog, info = None, None
         if not isinstance(catalog, dict):
             xstm = next(
                 (
@@ -1776,15 +2227,41 @@ def parse_pdf(data: bytes) -> dict:
                 None,
             )
             info = None
-    if encrypted or any(
-        isinstance(v, Stream) and str(v.dict.get("Type")) == "XRef"
-        and v.dict.get("Encrypt") is not None
-        for v in objects.values()
-    ):
-        # decryption is out of scope — a RECORDED parse failure (the
-        # metrics table counts it) beats silently extracting the
-        # ciphertext as garbage glyphs
-        raise ValueError("encrypted PDF (/Encrypt) is not supported")
+    if not decrypted:
+        xenc = next(
+            (
+                v.dict
+                for v in objects.values()
+                if isinstance(v, Stream)
+                and str(v.dict.get("Type")) == "XRef"
+                and v.dict.get("Encrypt") is not None
+            ),
+            None,
+        )
+        if xenc is not None:
+            # scan path found an encrypted PDF whose trailer is an xref
+            # STREAM dict — same decrypt-then-re-expand dance
+            encrypted = True
+            decrypted = _decrypt_all_objects(objects, xenc)
+            for v in list(objects.values()):
+                if isinstance(v, Stream) and str(v.dict.get("Type")) == "ObjStm":
+                    try:
+                        _expand_objstm(v, objects)
+                    except ValueError:
+                        pass
+            resolve = _Resolver(objects)
+            # the pre-decryption catalog/info values reference the OLD
+            # (ciphertext) copies — re-resolve from the fresh object map
+            try:
+                catalog = resolve(xenc.get("Root")) or catalog
+                info = resolve(xenc.get("Info")) or info
+            except ValueError:
+                pass
+    if encrypted and not decrypted:
+        # unsupported handler / non-empty password — a RECORDED parse
+        # failure (the metrics table counts it) beats silently
+        # extracting ciphertext as garbage glyphs
+        raise ValueError("encrypted PDF: unsupported security handler")
     if catalog is None:
         raise ValueError("no /Catalog found in PDF")
 

@@ -644,3 +644,95 @@ def test_stream_bytes_short_decodeparms_array():
         data.hex().encode("ascii") + b">",
     )
     assert _stream_bytes(stm2) == data
+
+
+def test_aes128_known_answer_and_cbc():
+    """FIPS-197 Appendix C.1 known-answer vector + CBC round trips —
+    pins the from-scratch AES implementation to the public spec."""
+    from libpdf_spark.pdfmini import (
+        _aes_cbc_decrypt, _aes_cbc_encrypt, _aes_dec_block,
+        _aes_enc_block, _aes_key_expand, _rc4,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rks = _aes_key_expand(key)
+    assert _aes_enc_block(rks, pt) == ct
+    assert _aes_dec_block(rks, ct) == pt
+    for n in (0, 1, 15, 16, 17, 333):
+        data = bytes(range(256)) * 2
+        data = data[:n]
+        assert _aes_cbc_decrypt(key, _aes_cbc_encrypt(key, data, bytes(16))) == data
+    # RC4 published test vector
+    assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+
+@pytest.mark.parametrize("mode", ["rc4", "aes"])
+def test_encrypted_pdf_empty_password_roundtrip(mode):
+    """Standard security handler, empty user password (the common
+    'print-protected' case the reference opens via pdfminer's
+    PDFStandardSecurityHandler, extract.py:96): write→encrypt→parse
+    round-trips byte-exact, including strings (title/outline) and
+    compressed content streams."""
+    doc = FAMILIES["full_features"]().build()
+    plain = parse_pdf(write_pdf(doc, compress=True))
+    data = write_pdf(doc, compress=True, encrypt=mode)
+    assert b"/Encrypt" in data and b"/ID" in data
+    # the content must actually be enciphered, not just flagged
+    assert b"Henry" not in data
+    got = parse_pdf(data)
+    for key in ("chars", "outline", "annos", "dests", "meta", "pages",
+                "lines", "rects", "figures"):
+        assert got[key] == plain[key], key
+
+
+def test_encrypted_pdf_extraction_identical():
+    from libpdf_spark.config import DEFAULT_CONFIG
+    from libpdf_spark.kernel.document import extract_document
+
+    doc = FAMILIES["full_features"]().build()
+    a = extract_document(
+        parse_pdf(write_pdf(doc, compress=True, encrypt="aes")), DEFAULT_CONFIG
+    )
+    b = extract_document(parse_pdf(write_pdf(doc, compress=True)), DEFAULT_CONFIG)
+    assert a.extracted_text == b.extracted_text
+    assert [(e.uid, e.text, e.x0, e.y0) for e in a.elements] == [
+        (e.uid, e.text, e.x0, e.y0) for e in b.elements
+    ]
+
+
+def test_encrypted_pdf_wrong_password_recorded_failure():
+    """A non-empty user password (simulated by corrupting /U so the
+    empty-password check fails) stays a RECORDED parse failure."""
+    doc = FAMILIES["plain_paragraphs"]().build()
+    data = write_pdf(doc, encrypt="rc4")
+    i = data.find(b"/U <") + 4
+    bad = data[:i] + (b"00" if data[i:i+2] != b"00" else b"11") + data[i+2:]
+    with pytest.raises(ValueError, match="ncrypt"):
+        parse_pdf(bad)
+    # unsupported V5/AES-256 likewise
+    bad5 = data.replace(b"/V 2 /R 3", b"/V 5 /R 6")
+    with pytest.raises(ValueError, match="ncrypt"):
+        parse_pdf(bad5)
+
+
+def test_encrypt_xref_stream_unsupported():
+    doc = FAMILIES["plain_paragraphs"]().build()
+    with pytest.raises(ValueError, match="xref_stream"):
+        write_pdf(doc, encrypt="rc4", xref_stream=True)
+
+
+def test_encrypted_pdf_scan_fallback_decrypts():
+    """Corrupt startxref on an ENCRYPTED file: the tolerant sequential
+    scan finds the trailer's /Encrypt + /ID and still decrypts."""
+    import re as _re
+
+    doc = FAMILIES["plain_paragraphs"]().build()
+    plain = parse_pdf(write_pdf(doc))
+    data = write_pdf(doc, encrypt="aes")
+    bad = _re.sub(rb"startxref\n\d+", b"startxref\n999999999", data)
+    assert bad != data
+    got = parse_pdf(bad)
+    assert got["chars"] == plain["chars"]
+    assert got["meta"] == plain["meta"]
