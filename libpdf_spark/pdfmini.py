@@ -1231,6 +1231,7 @@ def write_pdf(
     xref_stream: bool = False,
     custom_encoding: bool = False,
     encrypt: str | None = None,
+    cid_font: bool = False,
 ) -> bytes:
     """Layout-payload dict (markup schema) → PDF bytes.
 
@@ -1255,6 +1256,14 @@ def write_pdf(
     stream is enciphered with the per-object key, /Encrypt + /ID land
     in the trailer. Only the classic-xref serialization supports it
     (combining with ``xref_stream`` raises).
+
+    ``cid_font=True`` writes every font as a composite /Type0 font
+    with ``/Encoding /Identity-H``: 2-byte char codes (assigned
+    sequentially from 0x0101 — deliberately NOT Unicode, so the text
+    is garbage without the CMap), hex TJ strings, CID widths in the
+    descendant font's ``/W`` array, and a 2-byte-source ``/ToUnicode``
+    CMap — the foreign-CJK-producer shape (pdfminer handles it via its
+    CMap machinery, reference textbox.py:934-977).
 
     ``custom_encoding=True`` writes every font with a deliberately
     NON-identity single-byte encoding: char codes are assigned
@@ -1291,7 +1300,80 @@ def write_pdf(
     width_of: dict[str, dict[int, float]] = {}
     font_res: dict[str, tuple[str, int]] = {}
     code_of: dict[str, dict[str, int]] = {}
-    if custom_encoding:
+    if cid_font and custom_encoding:
+        raise ValueError("cid_font and custom_encoding are mutually exclusive")
+    if cid_font:
+        # composite /Type0 /Identity-H fonts with 2-byte codes
+        for i, fn in enumerate(fontnames, start=1):
+            safe = _pdf_name(fn) or "Courier"
+            texts = sorted(
+                {str(c["text"]) for c in chars if (c.get("fontname") or "Courier") == fn}
+            )
+            # code == CID (that IS Identity-H); code != Unicode
+            codes = {t: 0x0101 + k for k, t in enumerate(texts)}
+            if len(codes) > 0xFEFE:
+                raise ValueError("too many distinct glyphs for the CID fixture writer")
+            code_of[fn] = codes
+            observed_c: dict[int, float] = {}
+            for c in chars:
+                if (c.get("fontname") or "Courier") != fn:
+                    continue
+                size = float(c["y1"]) - float(c["y0"])
+                if size > 0:
+                    observed_c.setdefault(
+                        codes[str(c["text"])],
+                        round((float(c["x1"]) - float(c["x0"])) / size * 1000.0, 3),
+                    )
+            width_of[fn] = {
+                code: observed_c.get(code, float(_FALLBACK_WIDTH))
+                for code in codes.values()
+            }
+            # /ToUnicode CMap with 2-BYTE sources
+            pairs = sorted((code, t) for t, code in codes.items())
+            blocks = []
+            for b0 in range(0, len(pairs), 100):
+                chunk = pairs[b0 : b0 + 100]
+                body_lines = "\n".join(
+                    f"<{code:04x}> <{t.encode('utf-16-be').hex()}>"
+                    for code, t in chunk
+                )
+                blocks.append(f"{len(chunk)} beginbfchar\n{body_lines}\nendbfchar")
+            cmap = (
+                "/CIDInit /ProcSet findresource begin\n"
+                "12 dict begin\nbegincmap\n"
+                "/CMapName /Custom-CID-UTF16 def\n/CMapType 2 def\n"
+                "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+                + "\n".join(blocks)
+                + "\nendcmap\nCMap defined\nend\nend"
+            ).encode("ascii")
+            if compress:
+                z = zlib.compress(cmap)
+                tu_num = add(
+                    b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                    % (len(z), z)
+                )
+            else:
+                tu_num = add(
+                    b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap)
+                )
+            wparts = " ".join(
+                f"{code} [{_num(w)}]" for code, w in sorted(width_of[fn].items())
+            )
+            desc_num = add(
+                (
+                    f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /{safe} "
+                    "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                    "/Supplement 0 >> "
+                    f"/DW 1000 /W [{wparts}] >>"
+                ).encode()
+            )
+            body = (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /{safe} "
+                f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+                f"/ToUnicode {tu_num} 0 R >>"
+            )
+            font_res[fn] = (f"F{i}", add(body.encode()))
+    elif custom_encoding:
         # non-identity single-byte encoding + /ToUnicode CMap per font
         for i, fn in enumerate(fontnames, start=1):
             safe = _pdf_name(fn) or "Courier"
@@ -1439,12 +1521,22 @@ def write_pdf(
             pen = float(run[0]["x0"])
             ftable = width_of[fn]
             fcodes = code_of.get(fn)
+
+            def flush_buf():
+                # cid mode: 2-byte codes as a hex string; else literal
+                if buf:
+                    items.append(
+                        f"<{''.join(buf)}>" if cid_font
+                        else f"({_esc(''.join(buf))})"
+                    )
+                    buf.clear()
+
             for c in run:
                 t = str(c["text"])
                 if fcodes is not None:
                     code = fcodes[t]  # built from these exact chars
                     wg = ftable.get(code, float(_FALLBACK_WIDTH)) * size / 1000.0
-                    emit = chr(code)
+                    emit = f"{code:04X}" if cid_font else chr(code)
                 else:
                     ch0 = t[:1] or " "
                     wg = (
@@ -1454,15 +1546,12 @@ def write_pdf(
                     emit = t
                 gap = float(c["x0"]) - pen
                 if abs(gap) > 1e-4:
-                    if buf:
-                        items.append(f"({_esc(''.join(buf))})")
-                        buf = []
+                    flush_buf()
                     items.append(_num(-gap * 1000.0 / size))
                     pen = float(c["x0"])
                 buf.append(emit)
                 pen += wg
-            if buf:
-                items.append(f"({_esc(''.join(buf))})")
+            flush_buf()
             resname = font_res[fn][0]
             ops.append("BT")
             ops.append(f"/{resname} {_num(size)} Tf")
@@ -1835,8 +1924,9 @@ def _utf16be(hexs: bytes) -> str:
 def _parse_cmap(data: bytes) -> dict[int, str]:
     """/ToUnicode CMap → {char code: unicode string} (PDF 32000 §9.10.3:
     bfchar pairs, bfrange with incrementing scalar or explicit array).
-    Single-byte codespace — the simple-font case this module writes and
-    reads; multi-char destinations (ligatures) are preserved."""
+    Sources of any byte width parse to integer codes, so both simple
+    single-byte fonts and 2-byte composite (Identity-H) fonts are
+    covered; multi-char destinations (ligatures) are preserved."""
     out: dict[int, str] = {}
     for m in _BFCHAR_RE.finditer(data):
         toks = _HEX_RE.findall(m.group(1))
@@ -1857,6 +1947,29 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
                     out[lo + k] = bytes.fromhex(
                         format(base + k, f"0{width}x")
                     ).decode("utf-16-be")
+    return out
+
+
+def _parse_cid_widths(warr, resolve) -> dict[int, float]:
+    """Decode a CIDFont ``/W`` array (PDF 32000 §9.7.4.3): alternating
+    ``c [w1 w2 …]`` runs and ``cfirst clast w`` ranges → {cid: width}."""
+    out: dict[int, float] = {}
+    items = [resolve(x) for x in (warr or [])]
+    i = 0
+    while i < len(items):
+        if i + 1 < len(items) and isinstance(items[i + 1], list):
+            start = int(items[i])
+            for k, wv in enumerate(items[i + 1]):
+                out[start + k] = float(resolve(wv))
+            i += 2
+        elif i + 2 < len(items):
+            lo, hi = int(items[i]), int(items[i + 1])
+            wv = float(items[i + 2])
+            for c in range(lo, min(hi, lo + 65535) + 1):
+                out[c] = wv
+            i += 3
+        else:
+            break
     return out
 
 
@@ -1882,22 +1995,33 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
             "first": int(resolve(fobj.get("FirstChar")) or 0),
             "widths": [float(resolve(w)) for w in widths] if widths else None,
             "tounicode": tounicode,
+            "two_byte": False,
+            "dw": 1000.0,
+            "w": None,
         }
+        if str(fobj.get("Subtype")) == "Type0":
+            # Composite (CID) font — the CJK shape. /Encoding
+            # /Identity-H maps 2-byte codes 1:1 to CIDs; widths come
+            # from the descendant CIDFont's /W (default /DW). Codes
+            # map to TEXT via /ToUnicode (which keys on CODES, so it
+            # works for any encoding). The reference gets this from
+            # pdfminer's CMap machinery (textbox.py:934-977); here
+            # only 2-byte codespaces are handled — predefined
+            # variable-width CMaps are a documented divergence.
+            desc_list = resolve(fobj.get("DescendantFonts")) or []
+            desc = resolve(desc_list[0]) if desc_list else {}
+            if not isinstance(desc, dict):
+                desc = {}
+            info["two_byte"] = True
+            info["dw"] = float(resolve(desc.get("DW")) or 1000.0)
+            try:
+                info["w"] = _parse_cid_widths(resolve(desc.get("W")), resolve)
+            except (ValueError, TypeError):
+                info["w"] = None
         if cache is not None:
             cache[key] = info
         fonts[rname] = info
     return fonts
-
-
-def _glyph_width_millis(finfo: dict | None, ch: str) -> float:
-    if finfo:
-        widths = finfo.get("widths")
-        if widths is not None:
-            idx = ord(ch) - finfo["first"]
-            if 0 <= idx < len(widths):
-                return widths[idx]
-        return font_width_millis(finfo["basefont"], ch)
-    return font_width_millis(None, ch)
 
 
 def _interpret_content(
@@ -1929,7 +2053,20 @@ def _interpret_content(
 
     def show_text(raw: bytes):
         nonlocal tm
-        text = raw.decode("latin-1")  # char codes 1:1 (simple fonts)
+        two = bool(font and font.get("two_byte"))
+        if two:
+            # Identity-H composite font: 2-byte big-endian codes
+            # (a trailing odd byte is padded with 0 per §9.7.6.2)
+            if len(raw) % 2:
+                raw += b"\x00"
+            codes = [
+                (raw[i] << 8) | raw[i + 1] for i in range(0, len(raw), 2)
+            ]
+            wmap = font.get("w") or {}
+            dw = font["dw"]
+        else:
+            codes = list(raw)  # char codes 1:1 (simple fonts)
+            wmap, dw = None, 1000.0
         trm = _mat_mul(tm, ctm)
         a, b_, c_, d, e, f = trm
         widths = font["widths"] if font else None
@@ -1937,27 +2074,29 @@ def _interpret_content(
         basefont = font["basefont"] if font else None
         tumap = font.get("tounicode") if font else None
         fill_list = list(fill)
+
+        def code_width(code: int) -> float:
+            if two:
+                return wmap.get(code, dw)
+            if widths is not None:
+                idx = code - first
+                if 0 <= idx < len(widths):
+                    return widths[idx]
+            return font_width_millis(basefont, chr(code))
+
         if b_ == 0.0 and c_ == 0.0:
             # fast path: no rotation/skew — advance in text space and
             # map both corners with one multiply-add per char
             x = 0.0
             ytop = f + d * size
             y0v, y1v = (f, ytop) if ytop >= f else (ytop, f)
-            for ch in text:
-                if widths is not None:
-                    idx = ord(ch) - first
-                    w = (
-                        widths[idx]
-                        if 0 <= idx < len(widths)
-                        else font_width_millis(basefont, ch)
-                    )
-                else:
-                    w = font_width_millis(basefont, ch)
+            for code in codes:
                 # widths and word-spacing key on the CODE; the emitted
                 # TEXT goes through /ToUnicode when the font has one
-                disp = tumap.get(ord(ch), ch) if tumap else ch
-                w_text = w / 1000.0 * size + tc
-                if ch == " ":  # Tw applies to code 32 (PDF 32000 §9.3.3)
+                disp = tumap.get(code, chr(code)) if tumap else chr(code)
+                w_text = code_width(code) / 1000.0 * size + tc
+                if not two and code == 32:
+                    # Tw applies to SINGLE-byte code 32 only (§9.3.3)
                     w_text += tw
                 if disp != " ":
                     xa = e + a * x
@@ -1973,10 +2112,10 @@ def _interpret_content(
                 x += w_text
             tm = _mat_mul(_translate(x, 0.0), tm)
             return
-        for ch in text:
-            w_text = _glyph_width_millis(font, ch) / 1000.0 * size + tc
-            disp = tumap.get(ord(ch), ch) if tumap else ch
-            if ch == " ":
+        for code in codes:
+            w_text = code_width(code) / 1000.0 * size + tc
+            disp = tumap.get(code, chr(code)) if tumap else chr(code)
+            if not two and code == 32:
                 w_text += tw
             if disp != " ":
                 trm = _mat_mul(tm, ctm)

@@ -736,3 +736,84 @@ def test_encrypted_pdf_scan_fallback_decrypts():
     got = parse_pdf(bad)
     assert got["chars"] == plain["chars"]
     assert got["meta"] == plain["meta"]
+
+
+def test_identity_h_cid_font_roundtrip():
+    """Composite /Type0 /Identity-H font (VERDICT r3 ask #3): 2-byte
+    TJ hex codes + descendant /W widths + 2-byte-source /ToUnicode —
+    the foreign-CJK-producer shape. Round-trips byte-exact including
+    glyph geometry, with and without compression/encryption."""
+    from libpdf_spark.fixtures import doc_from_text
+
+    doc = doc_from_text("日本語のタイトル 漢字テスト apple banana").build()
+    src = doc["chars"]
+    for kw in (dict(compress=False), dict(compress=True),
+               dict(compress=True, encrypt="aes")):
+        got = parse_pdf(write_pdf(doc, cid_font=True, **kw))["chars"]
+        assert got["text"] == [c["text"] for c in src], kw
+        for k in ("x0", "y0", "x1", "y1"):
+            assert all(
+                abs(a - float(c[k])) < 1e-3 for a, c in zip(got[k], src)
+            ), (kw, k)
+
+
+def test_identity_h_cmap_is_load_bearing():
+    """Stripping /ToUnicode from an Identity-H file garbles the text:
+    the 2-byte codes are NOT Unicode, so extraction must be going
+    through the CMap."""
+    import re as _re
+
+    from libpdf_spark.fixtures import doc_from_text
+
+    doc = doc_from_text("漢字テスト apple").build()
+    data = write_pdf(doc, cid_font=True)
+    good = "".join(parse_pdf(data)["chars"]["text"])
+    bad = _re.sub(rb"/ToUnicode \d+ 0 R ", b"", data)
+    assert bad != data
+    garbled = "".join(parse_pdf(bad)["chars"]["text"])
+    assert good == "".join(c["text"] for c in doc["chars"])
+    assert garbled != good
+
+
+def test_identity_h_full_kernel_extraction():
+    """A CJK Identity-H document extracts byte-exact text through the
+    FULL kernel (layout grouping included)."""
+    from libpdf_spark.config import DEFAULT_CONFIG
+    from libpdf_spark.fixtures import doc_from_text
+    from libpdf_spark.kernel.document import extract_document
+
+    text = "東京都の地図 データ処理 spark engine test"
+    doc = doc_from_text(text).build()
+    expected = extract_document(dict(doc), DEFAULT_CONFIG).extracted_text
+    got = extract_document(
+        parse_pdf(write_pdf(doc, cid_font=True, compress=True)), DEFAULT_CONFIG
+    )
+    assert got.extracted_text == expected
+    assert "東京都の地図" in got.extracted_text
+
+
+def test_identity_h_ascii_equals_simple_font_writer():
+    """ASCII-only content written via Identity-H parses identically to
+    the simple-font serialization — geometry and text."""
+    doc = FAMILIES["full_features"]().build()
+    p = parse_pdf(write_pdf(doc, compress=True))
+    g = parse_pdf(write_pdf(doc, compress=True, cid_font=True))
+    assert g["chars"] == p["chars"]
+    assert g["outline"] == p["outline"]
+
+
+def test_cid_widths_parsing_forms():
+    """/W array forms (§9.7.4.3): `c [w…]` runs and `cfirst clast w`
+    ranges, plus /DW fallback; bfrange with 2-byte sources."""
+    from libpdf_spark.pdfmini import _parse_cid_widths, _parse_cmap
+
+    ident = lambda x: x  # noqa: E731
+    w = _parse_cid_widths([257, [500.0, 600.0], 300, 302, 750.0], ident)
+    assert w == {257: 500.0, 258: 600.0, 300: 750.0, 301: 750.0, 302: 750.0}
+    cm = _parse_cmap(
+        b"2 beginbfchar\n<0101> <65e5>\n<0102> <00610062>\nendbfchar\n"
+        b"1 beginbfrange\n<0200> <0202> <4e00>\nendbfrange\n"
+    )
+    assert cm[0x0101] == "日"
+    assert cm[0x0102] == "ab"          # ligature destination
+    assert cm[0x0200] == "一" and cm[0x0202] == "丂"
