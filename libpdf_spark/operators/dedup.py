@@ -300,18 +300,145 @@ def _sql_minhash_lsh():
 
 
 # --- near-dup clusters (connected components over LSH pairs) -----------------------
-def q_dedup_clusters(spark, sf_dir):
+def _cc_propagate(edges, F, max_rounds: int = 64):
+    """Connected components by iterative min-label propagation.
+    ``edges`` is directed BOTH ways (src, dst). Each round is one
+    equi-join on dst + one map-side-combinable min-agg; rounds =
+    graph diameter. Returns ``(labels_df(doc_id, label), rounds)`` —
+    the driver only ever sees a convergence scalar per round."""
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+        )
+        # localCheckpoint truncates the logical plan each round —
+        # without it the nested-join lineage grows with the round count
+        # and planning itself OOMs on long-diameter graphs
+        new = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "doc_id")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            return labels, rounds
+    raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+
+
+def _cc_alternating_star(edges, F, max_rounds: int = 64):
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): each round is two groupBy-min +
+    equi-join passes, and convergence takes O(log^2 n) rounds instead
+    of graph diameter — the difference between ~5 and ~1000 rounds on
+    the long duplicate chains web corpora produce. Same interface and
+    output as :func:`_cc_propagate`.
+
+    * large-star: per center u over the undirected neighborhood,
+      m = min(N(u) ∪ {u}); every neighbor v > u re-points to m.
+    * small-star: per center u over edges directed high→low,
+      m = min(N(u) ∪ {u}); u and every neighbor except m point to m.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("doc_id")).distinct().persist()
+    )
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        # large-star over both directions
+        und = e.select("a", "b").union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            und.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        large = (
+            und.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the high→low direction (v < u by construction)
+        mins_s = large.groupBy("u").agg(F.min("v").alias("mv"))
+        j = large.join(mins_s, "u")
+        small = (
+            j.select(F.col("u").alias("a"), F.col("mv").alias("b"))
+            .union(
+                j.filter(F.col("v") != F.col("mv")).select(
+                    F.col("v").alias("a"), F.col("mv").alias("b")
+                )
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        changed = small.subtract(e).count() + e.subtract(small).count()
+        e.unpersist()
+        e = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
+    # converged: every non-root points straight at its component min
+    labels = nodes.join(
+        e.groupBy("a").agg(F.min("b").alias("lbl")),
+        nodes.doc_id == F.col("a"),
+        "left",
+    ).select("doc_id", F.coalesce("lbl", "doc_id").alias("label"))
+    return labels, rounds
+
+
+def q_dedup_clusters(spark, sf_dir, algorithm: str = "star"):
     """Near-duplicate CLUSTERS: connected components over the
     MinHash-LSH candidate-pair graph — the step that turns pairs into
     keep/drop decisions for a training pipeline. ``cluster_id`` is the
     minimum doc_id of the component; the survivor is that doc.
 
-    Distributed algorithm: iterative min-label propagation (each round
-    one equi-join on dst + one map-side-combinable min-agg; rounds =
-    graph diameter, which for near-dup clusters is tiny). The driver
-    only checks a convergence scalar per round. At web scale you'd
-    swap in alternating large/small-star (Kiveris et al.) — same join
-    shape, fewer rounds on long chains.
+    ``algorithm="star"`` (default) runs alternating large/small-star
+    (O(log^2 n) rounds — survives the long duplicate chains of a web
+    corpus); ``algorithm="propagate"`` keeps plain min-label
+    propagation (rounds = diameter) — both produce identical
+    components (tested on a chain fixture, where star converges in a
+    fraction of the rounds).
 
     Oracle: DuckDB recursive CTE computing transitive min-label
     reachability over the identical pair set.
@@ -323,43 +450,8 @@ def q_dedup_clusters(spark, sf_dir):
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
-    )
-    while True:
-        neigh = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"), F.col("label").alias("dlabel")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dlabel").alias("nlabel"))
-        )
-        new = (
-            labels.join(neigh, labels.doc_id == neigh.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new.alias("a")
-            .join(labels.alias("b"), "doc_id")
-            .filter(F.col("a.label") != F.col("b.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
-            break
+    cc = _cc_alternating_star if algorithm == "star" else _cc_propagate
+    labels, _rounds = cc(edges, F)
     from pyspark.sql import Window
 
     w_size = F.count("*").over(Window.partitionBy("label"))

@@ -57,3 +57,43 @@ def test_hot_bucket_clusters_identical_components(spark, hot_dir):
     assert (dup.cluster_id == "dup-0000").all()
     assert (dup.cluster_size == N_DUP).all()
     assert dup[dup.is_survivor].doc_id.tolist() == ["dup-0000"]
+
+
+def test_chain_graph_star_fewer_rounds_same_components(spark):
+    """VERDICT r3 ask #7: on a CHAIN graph (the worst case for
+    min-label propagation — rounds = diameter) alternating
+    large/small-star (Kiveris et al.) converges in a fraction of the
+    rounds with IDENTICAL components."""
+    from pyspark.sql import functions as F
+
+    n = 17  # chain d00-d01-...-d16, diameter 16
+    pairs = [(f"d{i:02d}", f"d{i+1:02d}") for i in range(n - 1)]
+    pdf = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    edges = pdf.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pdf.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+    lab_p, rounds_p = D._cc_propagate(edges, F)
+    lab_s, rounds_s = D._cc_alternating_star(edges, F)
+    got_p = {r.doc_id: r.label for r in lab_p.collect()}
+    got_s = {r.doc_id: r.label for r in lab_s.collect()}
+    assert got_p == got_s == {f"d{i:02d}": "d00" for i in range(n)}
+    # propagation needs ~diameter rounds; star collapses the chain fast
+    assert rounds_p >= n - 2
+    assert rounds_s < rounds_p / 2, (rounds_s, rounds_p)
+
+
+def test_star_cc_multiple_components(spark):
+    """Alternating star on a mixed graph: two components + an isolated
+    self-contained pair; labels equal each component's min."""
+    from pyspark.sql import functions as F
+
+    pairs = [("b", "a"), ("c", "b"), ("x", "z"), ("y", "x"), ("p", "q")]
+    pdf = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    edges = pdf.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pdf.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    lab, _ = D._cc_alternating_star(edges, F)
+    got = {r.doc_id: r.label for r in lab.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x", "p": "p", "q": "p"}
