@@ -344,7 +344,7 @@ def main():
         spark.stop()
         return
     os.makedirs(WORK, exist_ok=True)
-    in_path = os.path.join(WORK, "transcripts_v5")
+    in_path = os.path.join(WORK, "transcripts_v6")
 
     if "--scaling-level" in sys.argv:
         # child process: one parallelism level, one JVM, pinned cores
@@ -382,7 +382,7 @@ def main():
 
         replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "6"))
         text_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_REPEAT", "4"))
-        in_path = os.path.join(WORK, f"transcripts_v5_x{replicate}_t{text_repeat}")
+        in_path = os.path.join(WORK, f"transcripts_v6_x{replicate}_t{text_repeat}")
         spark = make_session(CPUS)
         n_turns = materialize_transcripts(
             spark, in_path, replicate=replicate, text_repeat=text_repeat
@@ -516,7 +516,7 @@ def main():
     # 4×-text corpus (~30k turns, ~140 MB) — flagship throughput where
     # per-job fixed overhead is amortized, so a headline regression is
     # attributable (overhead vs kernel) from this artifact alone
-    big_path = os.path.join(WORK, "transcripts_v5_x6_t4")
+    big_path = os.path.join(WORK, "transcripts_v6_x6_t4")
     n_big = materialize_transcripts(spark, big_path, replicate=6, text_repeat=4)
     run_extraction(spark, big_path)  # warm-up
     big_trials = []

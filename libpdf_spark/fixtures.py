@@ -790,12 +790,23 @@ def gen_transcripts(
                 doc = builder.build()
                 if fam in PDF_CAPABLE_FAMILIES and (ci + ti) % 2 == 0:
                     # real PDF byte-stream embedding (same ground truth);
-                    # half of the PDFs FlateDecode-compressed
+                    # serialization variants rotate deterministically so
+                    # the corpus carries the real-world mix: plain,
+                    # FlateDecode, RC4/AES-encrypted (empty password),
+                    # and Identity-H CID files
                     from libpdf_spark.payload import embed_pdf
                     from libpdf_spark.pdfmini import write_pdf
 
+                    variant = (ci * 3 + ti) % 6
+                    pdf_kw = (
+                        {}, {"compress": True},
+                        {"encrypt": "rc4"},
+                        {"compress": True, "encrypt": "aes"},
+                        {"compress": True, "cid_font": True},
+                        {"compress": True},
+                    )[variant]
                     body = embed_pdf(
-                        write_pdf(doc, compress=(ci % 2 == 0)),
+                        write_pdf(doc, **pdf_kw),
                         prefix=f"turn {ti} of {conv_id} attaches a pdf: ",
                     )
                 else:
