@@ -817,3 +817,42 @@ def test_cid_widths_parsing_forms():
     assert cm[0x0101] == "日"
     assert cm[0x0102] == "ab"          # ligature destination
     assert cm[0x0200] == "一" and cm[0x0202] == "丂"
+
+
+def test_parse_pdf_mutation_fuzz_exception_contract():
+    """Per-turn isolation contract: parse_pdf on CORRUPTED bytes must
+    either return a dict or raise ValueError/KeyError/TypeError — the
+    classes the pipeline's payload stage catches (pipeline.py:167).
+    Any other exception class would abort an entire Spark batch
+    instead of recording one turn's parse failure. Deterministic
+    mutation fuzz over every writer shape (plain, compressed,
+    xref-stream/ObjStm, encrypted, CID)."""
+    import random as _random
+
+    doc = FAMILIES["full_features"]().build()
+    corpora = [
+        write_pdf(doc),
+        write_pdf(doc, compress=True),
+        write_pdf(doc, compress=True, xref_stream=True),
+        write_pdf(doc, encrypt="rc4"),
+        write_pdf(doc, compress=True, encrypt="aes"),
+        write_pdf(doc, compress=True, cid_font=True),
+    ]
+    rng = _random.Random(20260816)
+    for data in corpora:
+        for trial in range(60):
+            buf = bytearray(data)
+            for _ in range(rng.choice((1, 1, 1, 4, 16))):
+                pos = rng.randrange(len(buf))
+                op = rng.random()
+                if op < 0.7:
+                    buf[pos] = rng.randrange(256)
+                elif op < 0.85:
+                    del buf[pos]  # truncating shift
+                else:
+                    buf.insert(pos, rng.randrange(256))
+            try:
+                out = parse_pdf(bytes(buf))
+                assert isinstance(out, dict)
+            except (ValueError, KeyError, TypeError):
+                pass  # recorded parse failure — the allowed outcome
