@@ -719,6 +719,23 @@ PDF_CAPABLE_FAMILIES = {
 }
 
 
+def _pdf_variant(pdf_seq: int) -> int:
+    """Serialization-variant index for the ``pdf_seq``-th PDF-embedded
+    turn of a corpus.
+
+    Round 4 derived the variant from ``(ci*3 + ti) % 6``, but PDF
+    embedding is gated on ``(ci + ti) % 2 == 0`` — which forces
+    ``3ci + ti`` even, so variants 1/3/5 (FlateDecode-only, AES, the
+    second compress slot) were unreachable and no corpus ever contained
+    an AES-encrypted PDF (ADVICE r4). Arithmetic in ``(ci, ti)`` keeps
+    aliasing with the gate and the ``doc_every`` stride (embedded turns
+    step ``ti`` by 6, collapsing any linear form to 2 residues mod 6),
+    so the rotation is now a plain per-corpus counter: every corpus
+    with ≥ 6 embedded PDFs provably carries all six variants.
+    """
+    return pdf_seq % 6
+
+
 def doc_from_text(text: str, per_line: int = 8, lines_per_para: int = 4) -> DocBuilder:
     """Wrap arbitrary text into a single-column layout document.
 
@@ -772,6 +789,7 @@ def gen_transcripts(
     exp_text = []
     exp_elem = []
     base_ts = pd.Timestamp("2026-01-01 00:00:00")
+    pdf_seq = 0  # deterministic per-corpus counter driving _pdf_variant
     for ci in range(n_convs):
         conv_id = f"conv-{seed}-{ci:05d}"
         # Zipf-ish length: heavy head, long tail
@@ -797,7 +815,8 @@ def gen_transcripts(
                     from libpdf_spark.payload import embed_pdf
                     from libpdf_spark.pdfmini import write_pdf
 
-                    variant = (ci * 3 + ti) % 6
+                    variant = _pdf_variant(pdf_seq)
+                    pdf_seq += 1
                     pdf_kw = (
                         {}, {"compress": True},
                         {"encrypt": "rc4"},

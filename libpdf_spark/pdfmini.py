@@ -115,7 +115,15 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
     Residual (documented) divergence vs chardet: 1-2-character
     GB2312-only titles and kana-free SJIS-vs-GBK ambiguity.
     """
-    has_c1 = any(0x7F <= b <= 0x9F for b in raw)
+    # cp1252 smart punctuation (0x91-0x97: ''""•–—) is common in real
+    # Word-produced PDF titles and every byte in it is ALSO a valid
+    # Shift-JIS lead — b"John\x92s Report" decodes in SJIS as
+    # "John痴 Report" (the apostrophe eats the following 's' as a trail
+    # byte). chardet in the reference picks cp1252 here, so bytes from
+    # that range must NOT trigger the CJK sniff on their own (ADVICE
+    # r4). Cost: an SJIS title whose lead bytes are ALL in 0x91-0x97
+    # now falls back to cp1252/latin-1 — far rarer than smart quotes.
+    has_c1 = any(0x7F <= b <= 0x9F and not (0x91 <= b <= 0x97) for b in raw)
     if has_c1:
         # NOTE: half-width katakana (0xFF61-0xFF9F) is deliberately NOT
         # in the plausibility set — BOM-less UTF-16BE kana bytes (lead
@@ -176,6 +184,18 @@ def decode_pdf_string(raw: bytes) -> str:
     sniffed = _try_cjk_8bit(raw)
     if sniffed is not None:
         return sniffed
+    # ASCII-majority cp1252 prose must beat the UTF-16BE-CJK branch:
+    # b"Costs \x80 99" is 90% printable ASCII with one euro byte, yet
+    # its byte PAIRS all land in the ideograph window. Genuine BOM-less
+    # UTF-16BE CJK is nowhere near 70% printable-ASCII bytes (lead
+    # bytes of ideographs only sometimes fall in ASCII), so the
+    # fraction separates the two cleanly.
+    n_ascii = sum(0x20 <= b < 0x7F for b in raw)
+    cp1252_clean = any(0x7F <= b <= 0x9F for b in raw) and not any(
+        b in (0x81, 0x8D, 0x8F, 0x90, 0x9D) for b in raw
+    )
+    if cp1252_clean and raw and n_ascii * 10 >= len(raw) * 7:
+        return raw.decode("cp1252")
     if len(raw) >= 4 and len(raw) % 2 == 0 and not _printable_latin1(raw):
         # CJK UTF-16BE (no NULs at all): every code unit must land in
         # printable ASCII or a CJK block with a MAJORITY of CJK units,
@@ -194,6 +214,14 @@ def decode_pdf_string(raw: bytes) -> str:
                 0x20 <= o < 0x7F or _cjk_block(o) for o in codes
             ):
                 return u16
+    # Windows-1252 before latin-1: C1 bytes (0x80-0x9F) are undefined
+    # controls in latin-1 but smart quotes/dashes/ellipsis in cp1252 —
+    # the reference's chardet detects cp1252 on Word-produced titles
+    # like b"John\x92s Report" (ADVICE r4). Reached when every other
+    # branch rejected; no ASCII-fraction gate here, since latin-1 would
+    # only render the same bytes as invisible control characters.
+    if cp1252_clean:
+        return raw.decode("cp1252")
     return raw.decode("latin-1")
 
 
@@ -949,6 +977,8 @@ def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict, bool]:
                     )
                     i = me.end()
             tdict, _ = _parse_obj(data, i + 7)
+            if not isinstance(tdict, dict):
+                raise ValueError("trailer is not a dictionary")
             # hybrid-reference file (PDF 32000 §7.5.8.4): the classic
             # trailer points at an ADDITIONAL xref stream holding the
             # ObjStm entries old readers can't see; same-section table
@@ -1975,9 +2005,13 @@ def _parse_cid_widths(warr, resolve) -> dict[int, float]:
 
 def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]:
     fonts = {}
-    fdict = resolve(res.get("Font")) or {}
+    fdict = resolve(res.get("Font"))
+    if not isinstance(fdict, dict):
+        fdict = {}
     for rname, fref in fdict.items():
-        fobj = resolve(fref) or {}
+        fobj = resolve(fref)
+        if not isinstance(fobj, dict):  # corrupted font ref → e.g. bytes
+            fobj = {}
         key = id(fobj)
         if cache is not None and key in cache:
             fonts[rname] = cache[key]
@@ -2407,6 +2441,19 @@ def parse_pdf(data: bytes) -> dict:
     # --- page tree walk with attribute inheritance ---
     page_dicts: list[tuple[int, dict, tuple]] = []  # (objnum, dict, mediabox)
 
+    def _valid_mediabox(mb, resolve):
+        # Corrupted files carry /MediaBox arrays that are short, long,
+        # non-numeric, or not arrays at all; per-turn isolation demands
+        # parse_pdf stays total over such bytes (pipeline.py payload
+        # stage). Fall back to US Letter — the same default used when
+        # the key is absent.
+        if not isinstance(mb, list) or len(mb) != 4:
+            return [0.0, 0.0, 612.0, 792.0]
+        try:
+            return [float(resolve(v)) for v in mb]
+        except (ValueError, TypeError):
+            return [0.0, 0.0, 612.0, 792.0]
+
     def walk_pages(node_ref, inherited_mb, inherited_res, depth=0):
         if depth > 32:
             return
@@ -2437,11 +2484,14 @@ def parse_pdf(data: bytes) -> dict:
     }
     font_cache: dict = {}
     for idx, (_, pd, _) in enumerate(page_dicts, start=1):
-        mb = [float(resolve(v)) for v in (resolve(pd.get("MediaBox")) or [0, 0, 612, 792])]
+        mb = _valid_mediabox(resolve(pd.get("MediaBox")), resolve)
         pages.append({"number": idx, "width": mb[2] - mb[0], "height": mb[3] - mb[1]})
-        res = resolve(pd.get("Resources")) or {}
+        res = resolve(pd.get("Resources"))
+        if not isinstance(res, dict):  # corrupted /Resources → bytes etc.
+            res = {}
         fonts = _font_info(res, resolve, font_cache)
-        xobjects = set((resolve(res.get("XObject")) or {}).keys())
+        xo = resolve(res.get("XObject"))
+        xobjects = set(xo.keys()) if isinstance(xo, dict) else set()
         contents = pd.get("Contents")
         if contents is None:
             continue

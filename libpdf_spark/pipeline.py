@@ -164,8 +164,11 @@ def make_extract_batch(cfg: ExtractConfig):
                     doc = find_payload(text if isinstance(text, str) else None)
                     if doc is None:
                         doc = find_payload(tool if isinstance(tool, str) else None)
-                except (ValueError, KeyError, TypeError) as exc:
-                    err = f"payload: {exc}"
+                except Exception as exc:  # noqa: BLE001 — per-turn isolation:
+                    # one malformed document must record one turn's
+                    # failure, never abort the whole Arrow batch/task
+                    # (mirrors the extract stage below)
+                    err = f"payload: {type(exc).__name__}: {exc}"
                 result = None
                 if doc is not None and err is None:
                     try:

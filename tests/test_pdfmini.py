@@ -838,11 +838,17 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
         write_pdf(doc, compress=True, encrypt="aes"),
         write_pdf(doc, compress=True, cid_font=True),
     ]
+    # Budget: 1,000 trials × 6 writer shapes (6,000 corrupted docs per
+    # run, ~20 s). Round-4 ran 60/shape and caught the /MediaBox
+    # IndexError; the widened budget (plus a 33,000-trial offline sweep
+    # with the same mutator) flushed out and fixed three more escapes
+    # (AttributeError via bytes-typed /Resources, /Font, and trailer
+    # dicts) — zero escapes remain over the full offline budget.
     rng = _random.Random(20260816)
     for data in corpora:
-        for trial in range(60):
+        for trial in range(1000):
             buf = bytearray(data)
-            for _ in range(rng.choice((1, 1, 1, 4, 16))):
+            for _ in range(rng.choice((1, 1, 1, 4, 16, 64))):
                 pos = rng.randrange(len(buf))
                 op = rng.random()
                 if op < 0.7:
@@ -856,3 +862,50 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
                 assert isinstance(out, dict)
             except (ValueError, KeyError, TypeError):
                 pass  # recorded parse failure — the allowed outcome
+
+
+def test_parse_pdf_raw_bytes_exception_contract():
+    """Same contract as the mutation fuzz, but over arbitrary bytes
+    (hypothesis `binary()`): parse_pdf must return a dict or raise only
+    ValueError/KeyError/TypeError, even on blobs that never came from a
+    PDF writer. A %PDF header prefix variant steers half the budget
+    past the header check into the xref/scan machinery."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=300,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(blob=st.binary(max_size=4096), with_header=st.booleans())
+    def run(blob: bytes, with_header: bool) -> None:
+        data = (b"%PDF-1.5\n" + blob) if with_header else blob
+        try:
+            out = parse_pdf(data)
+            assert isinstance(out, dict)
+        except (ValueError, KeyError, TypeError):
+            pass
+
+    run()
+
+
+def test_decode_pdf_string_cp1252_smart_punctuation():
+    """ADVICE r4: Word-produced titles carry cp1252 smart punctuation
+    (0x91-0x97) — every one of those bytes is also a valid Shift-JIS
+    lead, so the C1 sniff trigger must exclude them or b"John\\x92s
+    Report" becomes destructive mojibake ("John痴 Report", the
+    apostrophe consuming the 's' as an SJIS trail byte). The reference
+    chardet detects cp1252 here; the deterministic chain now does too."""
+    assert decode_pdf_string(b"John\x92s Report") == "John’s Report"
+    assert decode_pdf_string(b"\x93Quoted\x94 \x96 dash") == "“Quoted” – dash"
+    assert decode_pdf_string(b"Costs \x80 99") == "Costs € 99"
+    # SJIS titles with leads OUTSIDE 0x91-0x97 still sniff as SJIS
+    for s in ("日本語のタイトル", "東京都の地図", "第3章 設計"):
+        assert decode_pdf_string(s.encode("shift_jis")) == s
+    # pure latin-1 (no C1 bytes) is untouched by the cp1252 branch
+    assert decode_pdf_string(b"caf\xe9") == "café"
+    # undefined-cp1252 bytes block the cp1252 branch: 0x90 with an
+    # SJIS-invalid trail (odd length keeps UTF-16BE out of play) falls
+    # through everything to latin-1
+    assert decode_pdf_string(b"ab\x90\ncdz") == "ab\x90\ncdz"

@@ -227,3 +227,81 @@ def test_output_salting_spreads_hot_conversation_output(spark, corpus):
         .groupBy("pid").count().toPandas()
     )
     assert len(counts) > 1, counts
+
+
+def test_payload_stage_catches_every_exception_class(monkeypatch):
+    """Per-turn isolation (round-5 contract): the payload stage must
+    record ANY exception class as one turn's failure — a single
+    malformed document aborting the whole Arrow batch is the failure
+    mode VERDICT r4 flagged. Drives make_extract_batch directly (same
+    function mapInPandas ships to executors) with find_payload forced
+    to raise classes OUTSIDE the old (ValueError, KeyError, TypeError)
+    catch list."""
+    import libpdf_spark.pipeline as pl
+    from libpdf_spark.pipeline import make_extract_batch
+
+    for exc_cls in (IndexError, RuntimeError, ZeroDivisionError, OverflowError):
+        def boom(text, _cls=exc_cls):
+            if text:
+                raise _cls("synthetic parse failure")
+            return None
+
+        monkeypatch.setattr(pl, "find_payload", boom)
+        batch_fn = make_extract_batch(ExtractConfig())
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1"],
+                "turn_idx": pd.array([0, 1], dtype="int32"),
+                "text": ["<<<LIBPDF_DOC>>>x<<<END_LIBPDF_DOC>>>", ""],
+                "tool": [None, None],
+            }
+        )
+        out = pd.concat(list(batch_fn(iter([pdf]))), ignore_index=True)
+        assert len(out) == 2, exc_cls
+        bad = out[out["turn_idx"] == 0].iloc[0]
+        assert bad["parse_ok"] is False or not bad["parse_ok"]
+        assert exc_cls.__name__ in bad["error"], bad["error"]
+
+
+def test_pdf_variant_rotation_reaches_all_six():
+    """ADVICE r4: the old rotation (ci*3+ti)%6 shared parity with the
+    (ci+ti)%2==0 embed gate, so variants 1/3/5 — FlateDecode-only and
+    AES — never appeared in any corpus. Pin the fix at both levels:
+    the rotation function itself (now a per-corpus counter), and a real
+    generated corpus whose embedded PDF bytes must include encrypted
+    AND compressed files."""
+    from libpdf_spark.fixtures import _pdf_variant
+
+    seen = {_pdf_variant(k) for k in range(6)}
+    assert seen == set(range(6)), seen
+
+
+def test_corpus_contains_all_pdf_serialization_variants(corpus):
+    import base64
+    import re as _re
+
+    transcripts, _, _ = corpus
+    pdfs = []
+    for body in transcripts["text"].tolist():
+        if not isinstance(body, str):
+            continue
+        m = _re.search(r"<<<LIBPDF_PDF_B64>>>(.*?)<<<END_LIBPDF_PDF_B64>>>", body, _re.S)
+        if m:
+            pdfs.append(base64.b64decode(m.group(1)))
+    assert len(pdfs) >= 6, len(pdfs)
+    has_encrypt = [b"/Encrypt" in p for p in pdfs]
+    has_aes = [b"AESV2" in p for p in pdfs]
+    has_rc4 = [b"/Encrypt" in p and b"AESV2" not in p for p in pdfs]
+    has_flate_plain = [
+        b"FlateDecode" in p and b"/Encrypt" not in p for p in pdfs
+    ]
+    has_cid = [b"Identity-H" in p for p in pdfs]
+    has_bare = [
+        b"FlateDecode" not in p and b"/Encrypt" not in p for p in pdfs
+    ]
+    assert any(has_aes), "no AES-encrypted PDF in corpus"
+    assert any(has_rc4), "no RC4-encrypted PDF in corpus"
+    assert any(has_flate_plain), "no compressed-unencrypted PDF in corpus"
+    assert any(has_cid), "no Identity-H CID PDF in corpus"
+    assert any(has_bare), "no plain PDF in corpus"
+    assert any(has_encrypt)
