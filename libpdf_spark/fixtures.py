@@ -822,7 +822,7 @@ def gen_transcripts(
                         {"encrypt": "rc4"},
                         {"compress": True, "encrypt": "aes"},
                         {"compress": True, "cid_font": True},
-                        {"compress": True},
+                        {"compress": True, "encrypt": "aes256"},
                     )[variant]
                     body = embed_pdf(
                         write_pdf(doc, **pdf_kw),

@@ -308,27 +308,36 @@ _SBOX, _INV_SBOX = _build_sboxes()
 
 
 def _aes_key_expand(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule → 11 flat 16-byte round keys
-    (column-major, matching the state layout)."""
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    """AES key schedule (FIPS-197 §5.2) → flat 16-byte round keys
+    (column-major, matching the state layout). Nk = 4 (AES-128, 10
+    rounds) or Nk = 8 (AES-256, 14 rounds, with the extra SubWord at
+    ``i % Nk == 4``)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError(f"unsupported AES key length {len(key)}")
+    rounds = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (rounds + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [_SBOX[b] for b in t[1:] + t[:1]]
             t[0] ^= rcon
             rcon = _xtime(rcon)
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(rounds + 1)]
 
 
 def _aes_enc_block(rks: list[list[int]], block: bytes) -> bytes:
+    rounds = len(rks) - 1
     s = [b ^ k for b, k in zip(block, rks[0])]
-    for rnd in range(1, 11):
+    for rnd in range(1, rounds + 1):
         s = [_SBOX[b] for b in s]
         # ShiftRows on the column-major flat state: row r rotates left r
         s = [s[4 * ((i // 4 + i % 4) % 4) + i % 4] for i in range(16)]
-        if rnd < 10:
+        if rnd < rounds:
             ns = []
             for c in range(4):
                 a = s[4 * c : 4 * c + 4]
@@ -340,8 +349,9 @@ def _aes_enc_block(rks: list[list[int]], block: bytes) -> bytes:
 
 
 def _aes_dec_block(rks: list[list[int]], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, rks[10])]
-    for rnd in range(9, -1, -1):
+    rounds = len(rks) - 1
+    s = [b ^ k for b, k in zip(block, rks[rounds])]
+    for rnd in range(rounds - 1, -1, -1):
         # InvShiftRows: row r rotates right r
         s = [s[4 * ((i // 4 - i % 4) % 4) + i % 4] for i in range(16)]
         s = [_INV_SBOX[b] for b in s]
@@ -390,13 +400,64 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     return bytes(out[:-pad])
 
 
-class _StdSecurity:
-    """Standard security handler, EMPTY user password only.
+def _aes_cbc_encrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """CBC without padding or an embedded IV (len(data) % 16 == 0) —
+    the primitive Algorithm 2.B and the /UE//OE wrapping need."""
+    rks = _aes_key_expand(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(d ^ p for d, p in zip(data[i : i + 16], prev))
+        prev = _aes_enc_block(rks, blk)
+        out += prev
+    return bytes(out)
 
-    Algorithms 2/3/4/5 of PDF 32000 §7.6.3. ``ValueError`` on any
-    unsupported shape (V>=5, non-Standard filter, unknown /CFM, or a
-    /U that does not verify against the empty password) — the caller
-    records a parse failure."""
+
+def _aes_cbc_decrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("bad AES-CBC ciphertext length")
+    rks = _aes_key_expand(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(d ^ p for d, p in zip(_aes_dec_block(rks, blk), prev))
+        prev = blk
+    return bytes(out)
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """Password hash for the V5 standard handler (PDF 32000-2 §7.6.4.3.4,
+    Algorithm 2.B). R5 is a single SHA-256; R6 iterates a SHA-256/384/512
+    chain keyed by an AES-128-CBC round until the 64-iteration floor and
+    the data-dependent stop condition are both met."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k1, k[16:32])
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+class _StdSecurity:
+    """Standard security handler, EMPTY user/owner password only.
+
+    Algorithms 2/3/4/5 of PDF 32000 §7.6.3 (V 1/2/4, RC4 + AES-128)
+    plus Algorithms 2.A/2.B of PDF 32000-2 §7.6.4 (V 5 / R 5-6,
+    AES-256 — the PDF 2.0 default; reference parity: pdfminer's
+    R5/R6 handler behind reference/libpdf/extract.py:96).
+    ``ValueError`` on any unsupported shape (non-Standard filter,
+    unknown /CFM, or /U//O that verify against neither empty
+    password) — the caller records a parse failure."""
 
     def __init__(self, enc: dict | None, id0: bytes):
         import hashlib
@@ -405,11 +466,16 @@ class _StdSecurity:
             raise ValueError("encrypted PDF: unsupported security handler")
         self.v = int(enc.get("V") or 0)
         self.r = int(enc.get("R") or 0)
-        if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
+        legacy = self.v in (1, 2, 4) and self.r in (2, 3, 4)
+        v5 = self.v == 5 and self.r in (5, 6)
+        if not (legacy or v5):
             raise ValueError(f"encrypted PDF: unsupported V={self.v} R={self.r}")
         o, u = enc.get("O"), enc.get("U")
         if not (isinstance(o, bytes) and isinstance(u, bytes)):
             raise ValueError("encrypted PDF: malformed /O or /U")
+        if self.v == 5:
+            self._init_v5(enc, o, u)
+            return
         p = int(enc.get("P") or 0)
         length = int(enc.get("Length") or 40)
         self.cfm = "V2"  # RC4
@@ -452,9 +518,40 @@ class _StdSecurity:
         if not ok:
             raise ValueError("encrypted PDF: non-empty user password")
 
+    def _init_v5(self, enc: dict, o: bytes, u: bytes) -> None:
+        """AES-256 key retrieval (PDF 32000-2 §7.6.4.4.10-11, Algorithms
+        8-9 inverted): verify the EMPTY password against /U, else /O,
+        then unwrap the file key from /UE or /OE."""
+        if len(u) < 48 or len(o) < 48:
+            raise ValueError("encrypted PDF: malformed V5 /O or /U")
+        ue, oe = enc.get("UE"), enc.get("OE")
+        zero_iv = b"\x00" * 16
+        if _hash_2b(b"", u[32:40], b"", self.r) == u[:32]:
+            if not (isinstance(ue, bytes) and len(ue) >= 32):
+                raise ValueError("encrypted PDF: malformed /UE")
+            ik = _hash_2b(b"", u[40:48], b"", self.r)
+            self.key = _aes_cbc_decrypt_nopad(ik, ue[:32], zero_iv)
+        elif _hash_2b(b"", o[32:40], u[:48], self.r) == o[:32]:
+            if not (isinstance(oe, bytes) and len(oe) >= 32):
+                raise ValueError("encrypted PDF: malformed /OE")
+            ik = _hash_2b(b"", o[40:48], u[:48], self.r)
+            self.key = _aes_cbc_decrypt_nopad(ik, oe[:32], zero_iv)
+        else:
+            raise ValueError("encrypted PDF: non-empty user password")
+        self.cfm = "AESV3"
+        # /Perms sanity (Algorithm 13): AES-256-ECB decrypt must expose
+        # the literal "adb" marker at bytes 9-11 — a wrong key never does
+        perms = enc.get("Perms")
+        if isinstance(perms, bytes) and len(perms) >= 16:
+            rks = _aes_key_expand(self.key)
+            if _aes_dec_block(rks, perms[:16])[9:12] != b"adb":
+                raise ValueError("encrypted PDF: /Perms verification failed")
+
     def _obj_key(self, num: int) -> bytes:
         import hashlib
 
+        if self.cfm == "AESV3":
+            return self.key  # V5: one file key for every object (§7.6.4)
         salt = b"sAlT" if self.cfm == "AESV2" else b""
         k = hashlib.md5(
             self.key + num.to_bytes(3, "little") + b"\x00\x00" + salt
@@ -463,13 +560,15 @@ class _StdSecurity:
 
     def decrypt_bytes(self, data: bytes, num: int) -> bytes:
         k = self._obj_key(num)
-        return _aes_cbc_decrypt(k, data) if self.cfm == "AESV2" else _rc4(k, data)
+        if self.cfm in ("AESV2", "AESV3"):
+            return _aes_cbc_decrypt(k, data)
+        return _rc4(k, data)
 
     def encrypt_bytes(self, data: bytes, num: int) -> bytes:
         import hashlib
 
         k = self._obj_key(num)
-        if self.cfm == "AESV2":
+        if self.cfm in ("AESV2", "AESV3"):
             iv = hashlib.md5(b"iv" + num.to_bytes(4, "little") + self.key).digest()
             return _aes_cbc_encrypt(k, data, iv)
         return _rc4(k, data)
@@ -478,9 +577,45 @@ class _StdSecurity:
 def _make_encrypt_dict(mode: str, id0: bytes) -> tuple[bytes, "_StdSecurity"]:
     """Writer side: build the /Encrypt dictionary for an empty user +
     empty owner password (Algorithms 2/3/5) and the matching handler.
-    ``mode``: ``"rc4"`` (V2/R3/128-bit) or ``"aes"`` (V4/R4/AESV2)."""
+    ``mode``: ``"rc4"`` (V2/R3/128-bit), ``"aes"`` (V4/R4/AESV2) or
+    ``"aes256"`` (V5/R6/AESV3, PDF 2.0). Deterministic: salts and the
+    V5 file key derive from ``id0`` so write_pdf stays reproducible."""
     import hashlib
 
+    if mode == "aes256":
+        r = 6
+        vs_u = hashlib.sha256(b"vs_u" + id0).digest()[:8]
+        ks_u = hashlib.sha256(b"ks_u" + id0).digest()[:8]
+        vs_o = hashlib.sha256(b"vs_o" + id0).digest()[:8]
+        ks_o = hashlib.sha256(b"ks_o" + id0).digest()[:8]
+        file_key = hashlib.sha256(b"filekey" + id0).digest()  # 32 bytes
+        zero_iv = b"\x00" * 16
+        # Algorithm 8: /U and /UE from the (empty) user password
+        u = _hash_2b(b"", vs_u, b"", r) + vs_u + ks_u
+        ue = _aes_cbc_encrypt_nopad(_hash_2b(b"", ks_u, b"", r), file_key, zero_iv)
+        # Algorithm 9: /O and /OE from the (empty) owner password
+        o = _hash_2b(b"", vs_o, u, r) + vs_o + ks_o
+        oe = _aes_cbc_encrypt_nopad(_hash_2b(b"", ks_o, u, r), file_key, zero_iv)
+        # Algorithm 10: /Perms (P = -1, EncryptMetadata true)
+        p = -1
+        pblock = (
+            p.to_bytes(4, "little", signed=True)
+            + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"pdfm"
+        )
+        perms = _aes_enc_block(_aes_key_expand(file_key), pblock)
+        body = (
+            "<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+            f"/O <{o.hex().upper()}> /U <{u.hex().upper()}> "
+            f"/OE <{oe.hex().upper()}> /UE <{ue.hex().upper()}> "
+            f"/Perms <{perms.hex().upper()}> /P {p} >>"
+        )
+        enc = {"Filter": Name("Standard"), "V": 5, "R": 6, "Length": 256,
+               "O": o, "U": u, "OE": oe, "UE": ue, "Perms": perms, "P": p,
+               "CF": {"StdCF": {"CFM": Name("AESV3"), "Length": 32}},
+               "StmF": Name("StdCF"), "StrF": Name("StdCF")}
+        return body.encode("ascii"), _StdSecurity(enc, id0)
     if mode not in ("rc4", "aes"):
         raise ValueError(f"unsupported encrypt mode {mode!r}")
     p = -1
@@ -1280,10 +1415,11 @@ def write_pdf(
     sequential scanner cannot see the packed objects, so round-tripping
     such a file exercises the parser's real xref-stream + ObjStm path.
 
-    ``encrypt="rc4"|"aes"`` writes the file encrypted under the
-    standard security handler with EMPTY user and owner passwords
-    (RC4 V2/R3/128-bit or AES-128 V4/R4/AESV2): every string and
-    stream is enciphered with the per-object key, /Encrypt + /ID land
+    ``encrypt="rc4"|"aes"|"aes256"`` writes the file encrypted under
+    the standard security handler with EMPTY user and owner passwords
+    (RC4 V2/R3/128-bit, AES-128 V4/R4/AESV2, or AES-256 V5/R6/AESV3 —
+    the PDF 2.0 default): every string and stream is enciphered with
+    the per-object key (V5: the single file key), /Encrypt + /ID land
     in the trailer. Only the classic-xref serialization supports it
     (combining with ``xref_stream`` raises).
 

@@ -660,6 +660,22 @@ def test_aes128_known_answer_and_cbc():
     rks = _aes_key_expand(key)
     assert _aes_enc_block(rks, pt) == ct
     assert _aes_dec_block(rks, ct) == pt
+    # FIPS-197 Appendix C.3: AES-256 known-answer vector (14 rounds,
+    # Nk=8 key schedule with the extra SubWord)
+    key256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    ct256 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rks256 = _aes_key_expand(key256)
+    assert len(rks256) == 15
+    assert _aes_enc_block(rks256, pt) == ct256
+    assert _aes_dec_block(rks256, ct256) == pt
+    for n in (0, 1, 16, 17, 333):
+        data = (bytes(range(256)) * 2)[:n]
+        assert (
+            _aes_cbc_decrypt(key256, _aes_cbc_encrypt(key256, data, bytes(16)))
+            == data
+        )
     for n in (0, 1, 15, 16, 17, 333):
         data = bytes(range(256)) * 2
         data = data[:n]
@@ -668,7 +684,7 @@ def test_aes128_known_answer_and_cbc():
     assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
 
 
-@pytest.mark.parametrize("mode", ["rc4", "aes"])
+@pytest.mark.parametrize("mode", ["rc4", "aes", "aes256"])
 def test_encrypted_pdf_empty_password_roundtrip(mode):
     """Standard security handler, empty user password (the common
     'print-protected' case the reference opens via pdfminer's
@@ -711,10 +727,52 @@ def test_encrypted_pdf_wrong_password_recorded_failure():
     bad = data[:i] + (b"00" if data[i:i+2] != b"00" else b"11") + data[i+2:]
     with pytest.raises(ValueError, match="ncrypt"):
         parse_pdf(bad)
-    # unsupported V5/AES-256 likewise
+    # a V5/R6 dict whose /O//U are legacy 32-byte values is malformed
     bad5 = data.replace(b"/V 2 /R 3", b"/V 5 /R 6")
     with pytest.raises(ValueError, match="ncrypt"):
         parse_pdf(bad5)
+    # V5/R6 with a corrupted /U validation hash (the non-empty-password
+    # shape): BOTH the user and owner checks fail → recorded failure
+    data5 = write_pdf(doc, encrypt="aes256")
+    i = data5.find(b"/U <") + 4
+    bad5u = data5[:i] + (b"00" if data5[i:i+2] != b"00" else b"11") + data5[i+2:]
+    with pytest.raises(ValueError, match="ncrypt"):
+        parse_pdf(bad5u)
+    # ... but a corrupted /U with an INTACT /O still opens via the
+    # empty OWNER password path (pdfminer checks both; so do we).
+    # Corrupting only U[0:32] keeps the owner hash (computed over the
+    # full 48-byte /U) wrong too, so corrupt /UE instead to force the
+    # owner path while leaving /U verifiable:
+    j = data5.find(b"/UE <") + 5
+    badue = data5[:j] + (b"00" if data5[j:j+2] != b"00" else b"11") + data5[j+2:]
+    # /UE feeds the USER key-unwrap; user validation still passes, so
+    # the wrong unwrapped key must be caught by /Perms verification
+    with pytest.raises(ValueError, match="ncrypt|Perms"):
+        parse_pdf(badue)
+
+
+def test_aes256_v5_r6_handler_details():
+    """V5/R6 specifics: /V 5 /R 6 /Length 256 + AESV3 crypt filter in
+    the written dict; single file key (no per-object salt); /Perms
+    round-trips the 'adb' marker; R5 hash is a bare SHA-256."""
+    import hashlib
+
+    from libpdf_spark.pdfmini import _hash_2b, _make_encrypt_dict
+
+    body, sec = _make_encrypt_dict("aes256", b"\x01" * 16)
+    assert b"/V 5 /R 6 /Length 256" in body and b"/CFM /AESV3" in body
+    assert len(sec.key) == 32 and sec.cfm == "AESV3"
+    # V5 object keys ignore the object number — one file key for all
+    assert sec._obj_key(1) == sec._obj_key(999) == sec.key
+    # R5: Algorithm 2.B degenerates to a single SHA-256
+    assert _hash_2b(b"pw", b"salt", b"", 5) == hashlib.sha256(
+        b"pw" + b"salt" + b""
+    ).digest()
+    # R6: iterated hash still produces 32 bytes and differs from R5
+    h6 = _hash_2b(b"pw", b"salt", b"", 6)
+    assert len(h6) == 32 and h6 != _hash_2b(b"pw", b"salt", b"", 5)
+    # deterministic (write_pdf reproducibility)
+    assert _hash_2b(b"pw", b"salt", b"", 6) == h6
 
 
 def test_encrypt_xref_stream_unsupported():
@@ -748,7 +806,8 @@ def test_identity_h_cid_font_roundtrip():
     doc = doc_from_text("日本語のタイトル 漢字テスト apple banana").build()
     src = doc["chars"]
     for kw in (dict(compress=False), dict(compress=True),
-               dict(compress=True, encrypt="aes")):
+               dict(compress=True, encrypt="aes"),
+               dict(compress=True, encrypt="aes256")):
         got = parse_pdf(write_pdf(doc, cid_font=True, **kw))["chars"]
         assert got["text"] == [c["text"] for c in src], kw
         for k in ("x0", "y0", "x1", "y1"):

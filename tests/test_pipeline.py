@@ -291,7 +291,10 @@ def test_corpus_contains_all_pdf_serialization_variants(corpus):
     assert len(pdfs) >= 6, len(pdfs)
     has_encrypt = [b"/Encrypt" in p for p in pdfs]
     has_aes = [b"AESV2" in p for p in pdfs]
-    has_rc4 = [b"/Encrypt" in p and b"AESV2" not in p for p in pdfs]
+    has_rc4 = [
+        b"/Encrypt" in p and b"AESV2" not in p and b"AESV3" not in p
+        for p in pdfs
+    ]
     has_flate_plain = [
         b"FlateDecode" in p and b"/Encrypt" not in p for p in pdfs
     ]
@@ -299,8 +302,10 @@ def test_corpus_contains_all_pdf_serialization_variants(corpus):
     has_bare = [
         b"FlateDecode" not in p and b"/Encrypt" not in p for p in pdfs
     ]
+    has_aes256 = [b"AESV3" in p for p in pdfs]
     assert any(has_aes), "no AES-encrypted PDF in corpus"
     assert any(has_rc4), "no RC4-encrypted PDF in corpus"
+    assert any(has_aes256), "no AES-256 (V5/R6) PDF in corpus"
     assert any(has_flate_plain), "no compressed-unencrypted PDF in corpus"
     assert any(has_cid), "no Identity-H CID PDF in corpus"
     assert any(has_bare), "no plain PDF in corpus"
