@@ -143,13 +143,77 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
         run = run + 1 if 0xA1 <= b <= 0xFE else 0
         best = max(best, run)
     if best >= 6:
+        # all-high-byte run: GB2312/EUC-KR/Big5 all put common text in
+        # 0xA1-0xFE lead+trail, and any structurally-valid EUC-KR
+        # string is also GBK-decodable — so a pure Korean title needs
+        # first claim, gated on the strongest possible signature: the
+        # EUC-KR decode succeeds AND every non-ASCII char is a hangul
+        # SYLLABLE (Korean titles are overwhelmingly pure hangul;
+        # Chinese text decoded via euc_kr lands in the hanja/symbol
+        # rows unless every single lead byte falls in 0xB0-0xC8 — the
+        # residual ambiguity is documented). Then GBK, then EUC-KR
+        # (mixed hangul+hanja), then Big5.
         try:
-            u = raw.decode("gbk")
+            uk = raw.decode("euc_kr")
+        except (UnicodeDecodeError, ValueError):
+            uk = None
+        if uk is not None:
+            non_ascii = [ord(c) for c in uk if ord(c) >= 0x80]
+            if len(non_ascii) >= 3 and all(
+                0xAC00 <= o <= 0xD7A3 for o in non_ascii
+            ):
+                return uk
+        for codec, need_hangul in (("gbk", False), ("euc_kr", True), ("big5", False)):
+            try:
+                u = raw.decode(codec)
+            except (UnicodeDecodeError, ValueError):
+                continue
+            non_ascii = [ord(c) for c in u if ord(c) >= 0x80]
+            cjk = sum(_cjk_block(o) for o in non_ascii)
+            if not (non_ascii and cjk >= 3 and all(_cjk_block(o) for o in non_ascii)):
+                continue
+            if need_hangul and not any(0xAC00 <= o <= 0xD7A3 for o in non_ascii):
+                continue
+            return u
+        return None
+    # Big5's SECOND trail range is ASCII (0x40-0x7E), so Taiwanese
+    # titles need not contain any 6-high-byte run at all. Tokenize as
+    # Big5 from the start; accept only on >= 3 double-byte pairs OF
+    # WHICH at least one has an ASCII-range trail (all-high pairs are
+    # the 6-high-run branch's jurisdiction — without this gate an
+    # even-length accent run like b"\xc0\xc0 \xc0\xc0\xc0\xc0" would
+    # tokenize), a strict decode, every non-ASCII char in a CJK block
+    # AND a CJK majority — accented latin-1 prose forms at most
+    # isolated (high, letter) pairs drowned in ASCII, so the majority
+    # gate keeps e.g. 'naïve naïve naïve' routed to latin-1.
+    i, pairs, ascii_trail, ok = 0, 0, 0, True
+    while i < len(raw):
+        b = raw[i]
+        if b < 0x80:
+            i += 1
+            continue
+        if 0x81 <= b <= 0xFE and i + 1 < len(raw) and (
+            0x40 <= raw[i + 1] <= 0x7E or 0xA1 <= raw[i + 1] <= 0xFE
+        ):
+            pairs += 1
+            ascii_trail += raw[i + 1] <= 0x7E
+            i += 2
+            continue
+        ok = False
+        break
+    if ok and pairs >= 3 and ascii_trail >= 1:
+        try:
+            u = raw.decode("big5")
         except (UnicodeDecodeError, ValueError):
             return None
-        non_ascii = [ord(c) for c in u if ord(c) >= 0x80]
-        cjk = sum(_cjk_block(o) for o in non_ascii)
-        if non_ascii and cjk >= 3 and all(_cjk_block(o) for o in non_ascii):
+        codes = [ord(c) for c in u]
+        non_ascii = [o for o in codes if o >= 0x80]
+        n_cjk = sum(_cjk_block(o) for o in non_ascii)
+        if (
+            non_ascii
+            and all(_cjk_block(o) for o in non_ascii)
+            and n_cjk * 2 >= len(codes)
+        ):
             return u
     return None
 
