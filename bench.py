@@ -344,7 +344,7 @@ def main():
         spark.stop()
         return
     os.makedirs(WORK, exist_ok=True)
-    in_path = os.path.join(WORK, "transcripts_v6")
+    in_path = os.path.join(WORK, "transcripts_v7")
 
     if "--scaling-level" in sys.argv:
         # child process: one parallelism level, one JVM, pinned cores
@@ -382,7 +382,7 @@ def main():
 
         replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "6"))
         text_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_REPEAT", "4"))
-        in_path = os.path.join(WORK, f"transcripts_v6_x{replicate}_t{text_repeat}")
+        in_path = os.path.join(WORK, f"transcripts_v7_x{replicate}_t{text_repeat}")
         spark = make_session(CPUS)
         n_turns = materialize_transcripts(
             spark, in_path, replicate=replicate, text_repeat=text_repeat
@@ -502,28 +502,31 @@ def main():
 
     spark = make_session(CPUS)
     n_turns = materialize_transcripts(spark, in_path)
-    run_extraction(spark, in_path)  # warm-up
-    ex_trials = []
+    # second scale point (VERDICT r3 ask #4): the 6×-replicated /
+    # 4×-text corpus (~30k turns, ~140 MB) — flagship throughput where
+    # per-job fixed overhead is amortized, so a headline regression is
+    # attributable (overhead vs kernel) from this artifact alone.
+    # Small and big corpus trials are INTERLEAVED (VERDICT r4 wrong
+    # #2: big_corpus consecutive trials spread 2.1× under host drift
+    # while the interleaved headline stayed tight) so any host-CPU
+    # drift window hits both corpora alike and min-of-4 stays
+    # comparable between them.
+    big_path = os.path.join(WORK, "transcripts_v7_x6_t4")
+    n_big = materialize_transcripts(spark, big_path, replicate=6, text_repeat=4)
+    run_extraction(spark, in_path)   # warm-up (JIT, page cache)
+    run_extraction(spark, big_path)  # warm-up
+    ex_trials, big_trials = [], []
     for _ in range(4):
         e, n = run_extraction(spark, in_path)
         ex_trials.append(round(e, 3))
+        eb, _nb = run_extraction(spark, big_path)
+        big_trials.append(round(eb, 3))
     extract_sec = min(ex_trials)
+    big_sec = min(big_trials)
     qtimes, qtrials = bench_queries(spark)
     qtimes["extract_turns"] = round(extract_sec, 3)
     qtrials["extract_turns"] = ex_trials
     total = round(sum(qtimes.values()), 3)
-    # second scale point (VERDICT r3 ask #4): the 6×-replicated /
-    # 4×-text corpus (~30k turns, ~140 MB) — flagship throughput where
-    # per-job fixed overhead is amortized, so a headline regression is
-    # attributable (overhead vs kernel) from this artifact alone
-    big_path = os.path.join(WORK, "transcripts_v6_x6_t4")
-    n_big = materialize_transcripts(spark, big_path, replicate=6, text_repeat=4)
-    run_extraction(spark, big_path)  # warm-up
-    big_trials = []
-    for _ in range(4):
-        e, _nb = run_extraction(spark, big_path)
-        big_trials.append(round(e, 3))
-    big_sec = min(big_trials)
     print(
         json.dumps(
             {
