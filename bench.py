@@ -344,7 +344,7 @@ def main():
         spark.stop()
         return
     os.makedirs(WORK, exist_ok=True)
-    in_path = os.path.join(WORK, "transcripts_v7")
+    in_path = os.path.join(WORK, "transcripts_v8")
 
     if "--scaling-level" in sys.argv:
         # child process: one parallelism level, one JVM, pinned cores
@@ -382,7 +382,7 @@ def main():
 
         replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "6"))
         text_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_REPEAT", "4"))
-        in_path = os.path.join(WORK, f"transcripts_v7_x{replicate}_t{text_repeat}")
+        in_path = os.path.join(WORK, f"transcripts_v8_x{replicate}_t{text_repeat}")
         spark = make_session(CPUS)
         n_turns = materialize_transcripts(
             spark, in_path, replicate=replicate, text_repeat=text_repeat
@@ -511,7 +511,7 @@ def main():
     # while the interleaved headline stayed tight) so any host-CPU
     # drift window hits both corpora alike and min-of-4 stays
     # comparable between them.
-    big_path = os.path.join(WORK, "transcripts_v7_x6_t4")
+    big_path = os.path.join(WORK, "transcripts_v8_x6_t4")
     n_big = materialize_transcripts(spark, big_path, replicate=6, text_repeat=4)
     run_extraction(spark, in_path)   # warm-up (JIT, page cache)
     run_extraction(spark, big_path)  # warm-up

@@ -1594,7 +1594,10 @@ def write_pdf(
     points, ``/W`` keys on the generated Adobe-Japan1 subset CIDs
     (Latin + kana rows; ideographs via /DW), and NO /ToUnicode is
     emitted — parsing such a file exercises the predefined-CMap
-    lookup for both text and widths.
+    lookup for both text and widths. ``cid_font="rksj"`` does the
+    same with the VARIABLE-width ``/90ms-RKSJ-H`` CMap: codes are the
+    cp932 bytes (1-byte ASCII/half-width kana, 2-byte kanji/kana),
+    emitted as variable-length hex runs.
 
     ``custom_encoding=True`` writes every font with a deliberately
     NON-identity single-byte encoding: char codes are assigned
@@ -1641,6 +1644,7 @@ def write_pdf(
         # /ToUnicode, so parsing this file proves the predefined-CMap
         # lookup is load-bearing for both text and widths)
         ucs2 = cid_font == "ucs2"
+        rksj = cid_font == "rksj"
         for i, fn in enumerate(fontnames, start=1):
             safe = _pdf_name(fn) or "Courier"
             texts = sorted(
@@ -1653,6 +1657,20 @@ def write_pdf(
                             "ucs2 cid writer requires single BMP glyphs"
                         )
                 codes = {t: ord(t) for t in texts}
+            elif rksj:
+                codes = {}
+                for t in texts:
+                    try:
+                        enc = t.encode("cp932")
+                    except (UnicodeEncodeError, ValueError) as exc:
+                        raise ValueError(
+                            f"rksj cid writer: glyph {t!r} not in cp932"
+                        ) from exc
+                    if len(t) != 1 or not 1 <= len(enc) <= 2:
+                        raise ValueError(
+                            "rksj cid writer requires single cp932 glyphs"
+                        )
+                    codes[t] = int.from_bytes(enc, "big")
             else:
                 # code == CID (that IS Identity-H); code != Unicode
                 codes = {t: 0x0101 + k for k, t in enumerate(texts)}
@@ -1673,8 +1691,9 @@ def write_pdf(
                 code: observed_c.get(code, float(_FALLBACK_WIDTH))
                 for code in codes.values()
             }
-            if ucs2:
-                cid_of_code = _predefined_cid_map("UniJIS-UCS2-H")
+            if ucs2 or rksj:
+                cmap_name = "UniJIS-UCS2-H" if ucs2 else "90ms-RKSJ-H"
+                cid_of_code = _predefined_cid_map(cmap_name)
                 unmapped = sorted(
                     {
                         width_of[fn][code]
@@ -1684,8 +1703,8 @@ def write_pdf(
                 )
                 if len(unmapped) > 1:
                     raise ValueError(
-                        "ucs2 cid writer: unmapped (ideograph) glyphs must "
-                        f"share one width for /DW, got {unmapped}"
+                        f"{cid_font} cid writer: unmapped (ideograph) glyphs "
+                        f"must share one width for /DW, got {unmapped}"
                     )
                 dw = unmapped[0] if unmapped else 1000.0
                 wparts = " ".join(
@@ -1703,7 +1722,7 @@ def write_pdf(
                 )
                 body = (
                     f"<< /Type /Font /Subtype /Type0 /BaseFont /{safe} "
-                    f"/Encoding /UniJIS-UCS2-H "
+                    f"/Encoding /{cmap_name} "
                     f"/DescendantFonts [{desc_num} 0 R] >>"
                 )
                 font_res[fn] = (f"F{i}", add(body.encode()))
@@ -1916,7 +1935,12 @@ def write_pdf(
                 if fcodes is not None:
                     code = fcodes[t]  # built from these exact chars
                     wg = ftable.get(code, float(_FALLBACK_WIDTH)) * size / 1000.0
-                    emit = f"{code:04X}" if cid_font else chr(code)
+                    if cid_font == "rksj" and code <= 0xFF:
+                        emit = f"{code:02X}"  # variable codespace: 1 byte
+                    elif cid_font:
+                        emit = f"{code:04X}"
+                    else:
+                        emit = chr(code)
                 else:
                     ch0 = t[:1] or " "
                     wg = (
@@ -2364,6 +2388,13 @@ _UCS2_CMAPS = {
     "UniCNS-UCS2-H", "UniCNS-UCS2-V",
 }
 
+# Variable-width predefined CMaps (mixed 1/2-byte codespace). The
+# 90ms family IS Shift-JIS/cp932: single-byte ASCII + half-width kana
+# (0xA1-0xDF), double-byte leads 0x81-0x9F/0xE0-0xFC — so TEXT is an
+# exact cp932 decode of the code bytes, and only /W width lookup needs
+# the generated code→CID subset.
+_RKSJ_CMAPS = {"90ms-RKSJ-H", "90ms-RKSJ-V", "90msp-RKSJ-H", "90msp-RKSJ-V"}
+
 _CID_MAP_CACHE: dict[str, dict[int, int]] = {}
 
 
@@ -2389,7 +2420,24 @@ def _predefined_cid_map(name: str) -> dict[int, int]:
     full-width forms) also fall to /DW."""
     m = _CID_MAP_CACHE.get(name)
     if m is None:
-        if "HW" in name:  # half-width Latin row (Adobe-Japan1 231-325)
+        if name in _RKSJ_CMAPS:
+            # keys are RAW CODES (cp932 byte values), not code points.
+            # 90ms maps single-byte Latin to the half-width row,
+            # 90msp to the proportional row; half-width katakana
+            # (single-byte 0xA1-0xDF) to the Adobe-Japan1 HW-kana row;
+            # full-width kana through their cp932 double-byte codes.
+            if name.startswith("90msp"):
+                m = {c: c - 0x1F for c in range(0x20, 0x7F)}
+            else:
+                m = {c: c + 231 - 0x20 for c in range(0x20, 0x7F)}
+            m.update({c: 326 + (c - 0xA1) for c in range(0xA1, 0xE0)})
+            for k in range(0x53):  # hiragana ぁ..ん → CID 842+
+                code = int.from_bytes(chr(0x3041 + k).encode("cp932"), "big")
+                m[code] = 842 + k
+            for k in range(0x56):  # katakana ァ..ヶ → CID 925+
+                code = int.from_bytes(chr(0x30A1 + k).encode("cp932"), "big")
+                m[code] = 925 + k
+        elif "HW" in name:  # half-width Latin row (Adobe-Japan1 231-325)
             m = {cp: cp + 231 - 0x20 for cp in range(0x20, 0x7F)}
         else:
             m = {cp: cp - 0x1F for cp in range(0x20, 0x7F)}
@@ -2449,6 +2497,9 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
                 info["cidmap"] = None
             elif enc_str in _UCS2_CMAPS:
                 info["cidmap"] = _predefined_cid_map(enc_str)
+            elif enc_str in _RKSJ_CMAPS:
+                info["cidmap"] = _predefined_cid_map(enc_str)
+                info["variable"] = True  # mixed 1/2-byte codespace
             else:
                 raise ValueError(
                     f"unsupported Type0 /Encoding {enc_str!r}"
@@ -2499,7 +2550,33 @@ def _interpret_content(
     def show_text(raw: bytes):
         nonlocal tm
         two = bool(font and font.get("two_byte"))
-        if two:
+        code_texts = None  # per-code text for variable-width CMaps
+        single = None      # per-code single-byte flags (Tw scope)
+        if two and font.get("variable"):
+            # RKSJ (cp932) mixed codespace: 1-byte ASCII/half-width
+            # kana, 2-byte leads 0x81-0x9F / 0xE0-0xFC
+            codes, code_texts, single = [], [], []
+            i2 = 0
+            while i2 < len(raw):
+                b0 = raw[i2]
+                if (0x81 <= b0 <= 0x9F or 0xE0 <= b0 <= 0xFC) and (
+                    i2 + 1 < len(raw)
+                    and 0x40 <= raw[i2 + 1] <= 0xFC
+                    and raw[i2 + 1] != 0x7F
+                ):
+                    codes.append((b0 << 8) | raw[i2 + 1])
+                    code_texts.append(raw[i2 : i2 + 2].decode("cp932", "replace"))
+                    single.append(False)
+                    i2 += 2
+                else:
+                    codes.append(b0)
+                    code_texts.append(raw[i2 : i2 + 1].decode("cp932", "replace"))
+                    single.append(True)
+                    i2 += 1
+            wmap = font.get("w") or {}
+            dw = font["dw"]
+            cidmap = font.get("cidmap")
+        elif two:
             # Identity-H composite font: 2-byte big-endian codes
             # (a trailing odd byte is padded with 0 per §9.7.6.2)
             if len(raw) % 2:
@@ -2533,18 +2610,26 @@ def _interpret_content(
                     return widths[idx]
             return font_width_millis(basefont, chr(code))
 
+        def code_disp(k: int, code: int) -> str:
+            # widths and word-spacing key on the CODE; the emitted
+            # TEXT goes through /ToUnicode when the font has one,
+            # else the variable-CMap cp932 decode, else chr(code)
+            if tumap:
+                d_ = tumap.get(code)
+                if d_ is not None:
+                    return d_
+            return code_texts[k] if code_texts is not None else chr(code)
+
         if b_ == 0.0 and c_ == 0.0:
             # fast path: no rotation/skew — advance in text space and
             # map both corners with one multiply-add per char
             x = 0.0
             ytop = f + d * size
             y0v, y1v = (f, ytop) if ytop >= f else (ytop, f)
-            for code in codes:
-                # widths and word-spacing key on the CODE; the emitted
-                # TEXT goes through /ToUnicode when the font has one
-                disp = tumap.get(code, chr(code)) if tumap else chr(code)
+            for k, code in enumerate(codes):
+                disp = code_disp(k, code)
                 w_text = code_width(code) / 1000.0 * size + tc
-                if not two and code == 32:
+                if code == 32 and (not two or (single and single[k])):
                     # Tw applies to SINGLE-byte code 32 only (§9.3.3)
                     w_text += tw
                 if disp != " ":
@@ -2561,10 +2646,10 @@ def _interpret_content(
                 x += w_text
             tm = _mat_mul(_translate(x, 0.0), tm)
             return
-        for code in codes:
+        for k, code in enumerate(codes):
             w_text = code_width(code) / 1000.0 * size + tc
-            disp = tumap.get(code, chr(code)) if tumap else chr(code)
-            if not two and code == 32:
+            disp = code_disp(k, code)
+            if code == 32 and (not two or (single and single[k])):
                 w_text += tw
             if disp != " ":
                 trm = _mat_mul(tm, ctm)

@@ -904,8 +904,9 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
         (write_pdf(doc, compress=True, cid_font=True), 1000),
         (write_pdf(cjk, compress=True, encrypt="aes256"), 250),
         (write_pdf(cjk, cid_font="ucs2"), 1000),
+        (write_pdf(cjk, compress=True, cid_font="rksj"), 1000),
     ]
-    # Budget: 1,000 trials × 8 writer shapes (8,000 corrupted docs per
+    # Budget: 1,000 trials × 9 writer shapes (aes256 at 250 — see below;
     # run, ~20 s). Round-4 ran 60/shape and caught the /MediaBox
     # IndexError; the widened budget (plus a 33,000-trial offline sweep
     # with the same mutator) flushed out and fixed three more escapes
@@ -1025,18 +1026,61 @@ def test_predefined_cid_map_values():
     assert gb[0x20] == 1 and 0x3041 not in gb          # kana rows JIS-only
 
 
-def test_unsupported_variable_width_cmap_recorded_failure():
-    """A variable-width predefined CMap (e.g. 90ms-RKSJ-H) must be a
-    RECORDED parse failure — never silently-garbled 2-byte text."""
+def test_unsupported_predefined_cmap_recorded_failure():
+    """An unimplemented predefined CMap (e.g. GBK-EUC-H) must be a
+    RECORDED parse failure — never silently-garbled 2-byte text.
+    (90ms-RKSJ-H moved to the SUPPORTED set in round 5.)"""
     from libpdf_spark.fixtures import doc_from_text
 
     data = write_pdf(doc_from_text("apple banana").build(), cid_font="ucs2")
     bad = data.replace(
-        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /90ms-RKSJ-H\x20\x20"
+        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /GBK-EUC-H\x20\x20\x20\x20"
     )
     assert bad != data
     with pytest.raises(ValueError, match="unsupported Type0"):
         parse_pdf(bad)
+
+
+def test_predefined_rksj_cmap_roundtrip():
+    """Variable-width predefined CMap (90ms-RKSJ-H — the cp932 mixed
+    1/2-byte codespace real Japanese producers emit): single-byte
+    ASCII + half-width kana and double-byte kana/kanji round-trip
+    byte-exact through the full kernel, text via the cp932 decode,
+    widths via the generated half-width/kana CID rows + /DW. No
+    /ToUnicode in the file. Composes with compression and AES-256."""
+    from libpdf_spark.fixtures import doc_from_text
+
+    doc = doc_from_text(
+        "日本語のタイトル 漢字テスト apple banana ひらがな ｶﾀｶﾅ"
+    ).build()
+    src = doc["chars"]
+    plain_extract = extract_document(doc, DEFAULT_CONFIG)
+    for kw in (dict(), dict(compress=True),
+               dict(compress=True, encrypt="aes256")):
+        data = write_pdf(doc, cid_font="rksj", **kw)
+        assert b"/Encoding /90ms-RKSJ-H" in data
+        assert b"ToUnicode" not in data
+        got = parse_pdf(data)["chars"]
+        assert got["text"] == [c["text"] for c in src], kw
+        for k in ("x0", "y0", "x1", "y1"):
+            assert all(
+                abs(a - float(c[k])) < 1e-3 for a, c in zip(got[k], src)
+            ), (kw, k)
+        via_pdf = extract_document(parse_pdf(data), DEFAULT_CONFIG)
+        assert via_pdf.extracted_text == plain_extract.extracted_text
+
+
+def test_rksj_cid_map_values():
+    from libpdf_spark.pdfmini import _predefined_cid_map
+
+    ms = _predefined_cid_map("90ms-RKSJ-H")
+    assert ms[0x20] == 231 and ms[0x7E] == 325       # half-width Latin
+    assert ms[0xA1] == 326 and ms[0xDF] == 388       # half-width kana
+    # full-width kana through their cp932 double-byte codes
+    assert ms[int.from_bytes("あ".encode("cp932"), "big")] == 843
+    assert ms[int.from_bytes("ア".encode("cp932"), "big")] == 926
+    msp = _predefined_cid_map("90msp-RKSJ-H")
+    assert msp[0x20] == 1 and msp[0x7E] == 95        # proportional Latin
 
 
 def test_decode_pdf_string_euc_kr_and_big5():
