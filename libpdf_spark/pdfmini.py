@@ -2394,6 +2394,7 @@ _UCS2_CMAPS = {
 # exact cp932 decode of the code bytes, and only /W width lookup needs
 # the generated code→CID subset.
 _RKSJ_CMAPS = {"90ms-RKSJ-H", "90ms-RKSJ-V", "90msp-RKSJ-H", "90msp-RKSJ-V"}
+_CP932_TEXT: dict[int, str] = {}  # code → decoded char memo (hot path)
 
 _CID_MAP_CACHE: dict[str, dict[int, int]] = {}
 
@@ -2554,8 +2555,12 @@ def _interpret_content(
         single = None      # per-code single-byte flags (Tw scope)
         if two and font.get("variable"):
             # RKSJ (cp932) mixed codespace: 1-byte ASCII/half-width
-            # kana, 2-byte leads 0x81-0x9F / 0xE0-0xFC
+            # kana, 2-byte leads 0x81-0x9F / 0xE0-0xFC. code→text is
+            # memoized module-wide — CJK corpora repeat a few hundred
+            # glyphs across millions of chars, and a dict hit beats a
+            # bytes.decode call per glyph on the hot extraction path.
             codes, code_texts, single = [], [], []
+            memo = _CP932_TEXT
             i2 = 0
             while i2 < len(raw):
                 b0 = raw[i2]
@@ -2564,15 +2569,23 @@ def _interpret_content(
                     and 0x40 <= raw[i2 + 1] <= 0xFC
                     and raw[i2 + 1] != 0x7F
                 ):
-                    codes.append((b0 << 8) | raw[i2 + 1])
-                    code_texts.append(raw[i2 : i2 + 2].decode("cp932", "replace"))
+                    code = (b0 << 8) | raw[i2 + 1]
+                    t_ = memo.get(code)
+                    if t_ is None:
+                        t_ = raw[i2 : i2 + 2].decode("cp932", "replace")
+                        memo[code] = t_
                     single.append(False)
                     i2 += 2
                 else:
-                    codes.append(b0)
-                    code_texts.append(raw[i2 : i2 + 1].decode("cp932", "replace"))
+                    code = b0
+                    t_ = memo.get(code)
+                    if t_ is None:
+                        t_ = raw[i2 : i2 + 1].decode("cp932", "replace")
+                        memo[code] = t_
                     single.append(True)
                     i2 += 1
+                codes.append(code)
+                code_texts.append(t_)
             wmap = font.get("w") or {}
             dw = font["dw"]
             cidmap = font.get("cidmap")
