@@ -2313,6 +2313,162 @@ def _content_tokens(data: bytes):
             yield ("op", op)
 
 
+_AGL_CACHE: dict[str, str] | None = None
+
+
+def _agl_map() -> dict[str, str]:
+    """Generated Adobe-Glyph-List subset: glyph name → unicode char.
+
+    The AGL itself is a public Adobe mapping; rather than vendoring the
+    4,000-line file, the high-frequency subset is produced
+    programmatically — ASCII names, the Latin accent grid via
+    ``unicodedata.lookup`` (AGL names ARE "letter + accent-name":
+    'eacute', 'Ntilde', …), and an explicit table for typographic
+    specials. ``uniXXXX`` names are handled by the caller. The long
+    symbol/dingbat tail falls back to chr(code) — documented."""
+    global _AGL_CACHE
+    if _AGL_CACHE is not None:
+        return _AGL_CACHE
+    import unicodedata
+
+    m: dict[str, str] = {}
+    for ch in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+        m[ch] = ch
+    for name, ch in (
+        ("zero", "0"), ("one", "1"), ("two", "2"), ("three", "3"),
+        ("four", "4"), ("five", "5"), ("six", "6"), ("seven", "7"),
+        ("eight", "8"), ("nine", "9"), ("space", " "), ("exclam", "!"),
+        ("quotedbl", '"'), ("numbersign", "#"), ("dollar", "$"),
+        ("percent", "%"), ("ampersand", "&"), ("quotesingle", "'"),
+        ("parenleft", "("), ("parenright", ")"), ("asterisk", "*"),
+        ("plus", "+"), ("comma", ","), ("hyphen", "-"), ("period", "."),
+        ("slash", "/"), ("colon", ":"), ("semicolon", ";"), ("less", "<"),
+        ("equal", "="), ("greater", ">"), ("question", "?"), ("at", "@"),
+        ("bracketleft", "["), ("backslash", "\\"), ("bracketright", "]"),
+        ("asciicircum", "^"), ("underscore", "_"), ("grave", "`"),
+        ("braceleft", "{"), ("bar", "|"), ("braceright", "}"),
+        ("asciitilde", "~"), ("quoteleft", "‘"),
+        ("quoteright", "’"), ("quotedblleft", "“"),
+        ("quotedblright", "”"), ("quotesinglbase", "‚"),
+        ("quotedblbase", "„"), ("endash", "–"),
+        ("emdash", "—"), ("bullet", "•"),
+        ("dagger", "†"), ("daggerdbl", "‡"),
+        ("ellipsis", "…"), ("perthousand", "‰"),
+        ("guilsinglleft", "‹"), ("guilsinglright", "›"),
+        ("guillemotleft", "«"), ("guillemotright", "»"),
+        ("trademark", "™"), ("copyright", "©"),
+        ("registered", "®"), ("degree", "°"),
+        ("plusminus", "±"), ("Euro", "€"),
+        ("florin", "ƒ"), ("fi", "ﬁ"), ("fl", "ﬂ"),
+        ("germandbls", "ß"), ("ae", "æ"), ("AE", "Æ"),
+        ("oe", "œ"), ("OE", "Œ"), ("oslash", "ø"),
+        ("Oslash", "Ø"), ("thorn", "þ"), ("Thorn", "Þ"),
+        ("eth", "ð"), ("Eth", "Ð"), ("dotlessi", "ı"),
+        ("exclamdown", "¡"), ("questiondown", "¿"),
+        ("cent", "¢"), ("sterling", "£"), ("yen", "¥"),
+        ("section", "§"), ("paragraph", "¶"),
+        ("currency", "¤"), ("brokenbar", "¦"),
+        ("mu", "µ"), ("periodcentered", "·"),
+        ("multiply", "×"), ("divide", "÷"),
+        ("logicalnot", "¬"), ("macron", "¯"),
+        ("minus", "−"), ("fraction", "⁄"),
+    ):
+        m[name] = ch
+    # the Latin accent grid: AGL name == letter + accent suffix, and
+    # the Unicode character name is systematic enough to synthesize
+    accents = (
+        ("acute", "ACUTE"), ("grave", "GRAVE"),
+        ("circumflex", "CIRCUMFLEX"), ("dieresis", "DIAERESIS"),
+        ("tilde", "TILDE"), ("ring", "RING ABOVE"),
+        ("cedilla", "CEDILLA"), ("macron", "MACRON"),
+        ("breve", "BREVE"), ("caron", "CARON"),
+        ("ogonek", "OGONEK"), ("slash", "STROKE"),
+        ("dotaccent", "DOT ABOVE"), ("hungarumlaut", "DOUBLE ACUTE"),
+    )
+    for letter in "abcdefghijklmnopqrstuvwxyz":
+        for suffix, uni_accent in accents:
+            for case_word, lt in (("SMALL", letter), ("CAPITAL", letter.upper())):
+                try:
+                    ch = unicodedata.lookup(
+                        f"LATIN {case_word} LETTER {letter.upper()} "
+                        f"WITH {uni_accent}"
+                    )
+                except KeyError:
+                    continue
+                m.setdefault(lt + suffix, ch)
+    _AGL_CACHE = m
+    return m
+
+
+def _glyph_to_char(name: str) -> str | None:
+    """AGL name / uniXXXX / uXXXX[XX] → unicode char (None if unknown)."""
+    agl = _agl_map()
+    ch = agl.get(name)
+    if ch is not None:
+        return ch
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+def _base_encoding_map(name: str) -> dict[int, str]:
+    """code → char for the named base encoding. WinAnsi IS cp1252;
+    MacRoman has a stdlib codec; StandardEncoding's printable range is
+    approximated by latin-1 (documented divergence for its typographic
+    high range)."""
+    codec = {
+        "WinAnsiEncoding": "cp1252",
+        "MacRomanEncoding": "mac_roman",
+    }.get(name, "latin-1")
+    m: dict[int, str] = {}
+    for code in range(32, 256):
+        try:
+            m[code] = bytes([code]).decode(codec)
+        except UnicodeDecodeError:
+            pass  # unmapped slots (e.g. cp1252 0x81) stay absent
+    return m
+
+
+def _parse_font_encoding(enc, resolve) -> dict[int, str] | None:
+    """Simple-font /Encoding → {code: unicode} map, or None when the
+    entry is absent/unusable (chr(code) fallback). Handles both the
+    bare name form and the dictionary form with /BaseEncoding +
+    /Differences (PDF 32000 §9.6.6 — the subset-font shape foreign
+    producers emit; the reference reads it through pdfminer's
+    EncodingDB, textbox.py)."""
+    enc = resolve(enc)
+    if enc is None:
+        return None
+    if isinstance(enc, (Name, str)) and not isinstance(enc, dict):
+        return _base_encoding_map(str(enc))
+    if not isinstance(enc, dict):
+        return None
+    base = _base_encoding_map(str(enc.get("BaseEncoding") or "StandardEncoding"))
+    diffs = resolve(enc.get("Differences"))
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            item = resolve(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, (Name, str)):
+                ch = _glyph_to_char(str(item))
+                if ch is not None:
+                    base[code] = ch
+                else:
+                    base.pop(code, None)  # unknown glyph → chr fallback
+                code += 1
+    return base
+
+
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
@@ -2478,7 +2634,19 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
             "two_byte": False,
             "dw": 1000.0,
             "w": None,
+            "encmap": None,
         }
+        if str(fobj.get("Subtype")) != "Type0" and "Encoding" in fobj:
+            # simple-font /Encoding: bare base-encoding name, or the
+            # dictionary form with /BaseEncoding + /Differences (the
+            # subset-font shape; §9.6.6). Resolution order at show
+            # time: /ToUnicode → this map → chr(code).
+            try:
+                info["encmap"] = _parse_font_encoding(
+                    fobj.get("Encoding"), resolve
+                )
+            except (ValueError, TypeError):
+                info["encmap"] = None
         if str(fobj.get("Subtype")) == "Type0":
             # Composite (CID) font — the CJK shape. /Encoding
             # /Identity-H maps 2-byte codes 1:1 to CIDs; the predefined
@@ -2623,12 +2791,19 @@ def _interpret_content(
                     return widths[idx]
             return font_width_millis(basefont, chr(code))
 
+        encmap = font.get("encmap") if font else None
+
         def code_disp(k: int, code: int) -> str:
             # widths and word-spacing key on the CODE; the emitted
-            # TEXT goes through /ToUnicode when the font has one,
-            # else the variable-CMap cp932 decode, else chr(code)
+            # TEXT goes through /ToUnicode when the font has one, else
+            # the simple-font /Encoding//Differences map, else the
+            # variable-CMap cp932 decode, else chr(code)
             if tumap:
                 d_ = tumap.get(code)
+                if d_ is not None:
+                    return d_
+            if encmap is not None:
+                d_ = encmap.get(code)
                 if d_ is not None:
                     return d_
             return code_texts[k] if code_texts is not None else chr(code)

@@ -1128,3 +1128,60 @@ def test_decode_pdf_string_korean_property():
         assert decode_pdf_string(raw) == s
 
     run()
+
+
+def _encoding_pdf(enc_entry: bytes, content: bytes) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding "
+        + enc_entry + b" >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def test_simple_font_differences_encoding():
+    """/Encoding dictionaries with /BaseEncoding + /Differences (the
+    subset-font shape, PDF 32000 §9.6.6 — pdfminer's EncodingDB in the
+    reference chain): glyph NAMES map codes to text, so a file whose
+    codes are scrambled must still extract the right characters."""
+    enc = (b"<< /BaseEncoding /WinAnsiEncoding "
+           b"/Differences [65 /eacute /ntilde 97 /Euro /uni0416] >>")
+    content = b"BT /F1 12 Tf 100 700 Td (ABa b) Tj ET"
+    d = parse_pdf(_encoding_pdf(enc, content))
+    chs = d["chars"]
+    texts = chs["text"] if isinstance(chs, dict) else [c["text"] for c in chs]
+    # A(65)->eacute, B(66)->ntilde, a(97)->Euro, b(98)->uni0416 (Ж)
+    assert texts == ["é", "ñ", "€", "Ж"], texts
+
+
+def test_simple_font_winansi_base_encoding():
+    """Bare /Encoding /WinAnsiEncoding: C1-range codes are cp1252
+    punctuation, not latin-1 controls."""
+    content = b"BT /F1 12 Tf 100 700 Td (It\\222s \\205) Tj ET"
+    d = parse_pdf(_encoding_pdf(b"/WinAnsiEncoding", content))
+    chs = d["chars"]
+    texts = chs["text"] if isinstance(chs, dict) else [c["text"] for c in chs]
+    assert "".join(texts) == "It’s…", texts
+
+
+def test_agl_map_generation():
+    from libpdf_spark.pdfmini import _agl_map, _glyph_to_char
+
+    agl = _agl_map()
+    assert agl["eacute"] == "é" and agl["Eacute"] == "É"
+    assert agl["ntilde"] == "ñ" and agl["Ccedilla"] == "Ç"
+    assert agl["adieresis"] == "ä" and agl["aring"] == "å"
+    assert agl["scaron"] == "š" and agl["Zcaron"] == "Ž"
+    assert agl["germandbls"] == "ß" and agl["quoteright"] == "’"
+    assert _glyph_to_char("uni4E2D") == "中"
+    assert _glyph_to_char("u1F600") == "😀"
+    assert _glyph_to_char("nonexistentglyphname") is None
