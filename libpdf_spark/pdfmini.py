@@ -2413,8 +2413,10 @@ def _glyph_to_char(name: str) -> str | None:
             return None
     if name.startswith("u") and 5 <= len(name) <= 7:
         try:
+            # chr() itself raises on > 0x10FFFF — keep it inside the
+            # guard so a corrupt uXXXXXX name stays a None fallback
             return chr(int(name[1:], 16))
-        except ValueError:
+        except (ValueError, OverflowError):
             return None
     return None
 
