@@ -906,10 +906,13 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
         (write_pdf(cjk, cid_font="ucs2"), 1000),
         (write_pdf(cjk, compress=True, cid_font="rksj"), 1000),
     ]
-    # Budget: 1,000 trials × 9 writer shapes (aes256 at 250 — see below;
-    # run, ~20 s). Round-4 ran 60/shape and caught the /MediaBox
-    # IndexError; the widened budget (plus a 33,000-trial offline sweep
-    # with the same mutator) flushed out and fixed three more escapes
+    # Budget: 1,000 trials × 9 writer shapes per run (~25 s; the
+    # aes256 shape runs 250 — a mutation landing in its /Encrypt dict
+    # costs an UNCACHED Algorithm-2.B hash at ~0.27 s of pure-Python
+    # AES). Round-4 ran 60/shape and caught the /MediaBox IndexError;
+    # round-5 offline sweeps with the same mutator totalled 46,000+
+    # trials (33k × 6 legacy shapes, 8k × aes256/ucs2, 5k × the
+    # /Differences shape) and flushed out + fixed three more escapes
     # (AttributeError via bytes-typed /Resources, /Font, and trailer
     # dicts) — zero escapes remain over the full offline budget.
     rng = _random.Random(20260816)
