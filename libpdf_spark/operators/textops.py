@@ -423,6 +423,114 @@ SQL_TFIDF = rf"""
 """
 
 
+def q_repetition_score(spark, sf_dir):
+    """Gopher-style repetition signal: the fraction of words that are
+    duplicates of an earlier word in the same document (Rae et al.,
+    "Scaling Language Models" — public heuristic; high duplicate
+    fraction flags boilerplate/spam for corpus filtering). Emitted as
+    integer parts-per-million so the oracle comparison is exact across
+    engines (no float rounding)."""
+    F = _F()
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    n_words = F.size("w").cast("long")
+    n_distinct = F.size(F.array_distinct("w")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct"),
+        F.expr(
+            "CAST((size(w) - size(array_distinct(w))) * 1000000L"
+            " div size(w) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
+SQL_REPETITION = r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST((len(w) - len(list_distinct(w))) * 1000000 // len(w) AS BIGINT)
+             AS dup_ppm
+    FROM t
+"""
+
+
+def q_pack_bins(spark, sf_dir, budget: int = 2048, shard: int = 1000):
+    """Sequence packing for training: assign documents (in doc_id
+    order) to fixed token-budget bins via a GLOBAL exclusive prefix
+    sum of token counts — ``bin_id = floor(prefix / budget)`` (the
+    budget-quantized streaming-pack approximation: a bin may overflow
+    by at most one document, which is what large pipelines actually
+    run because exact next-fit is a sequential recurrence).
+
+    Scale shape: a bare ``Window.orderBy(doc_id)`` would execute the
+    whole prefix sum on ONE task. This is the classic two-phase
+    distributed scan instead: (1) an intra-shard window partitioned by
+    ``doc_id div shard`` (parallel), (2) per-shard totals — one tiny
+    row per shard — cumulated and broadcast-joined back as shard base
+    offsets. At 100 TB the shard constant rises so phase-2 stays a
+    driver-sized table (1 row per ~10⁶ docs)."""
+    F = _F()
+    from pyspark.sql import Window
+
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        (F.col("doc_id").cast("long") / shard).cast("long").alias("shard_id"),
+    )
+    w_in = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = docs.withColumn(
+        "local_prefix", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    shard_tot = docs.groupBy("shard_id").agg(F.sum("n_tokens").alias("tot"))
+    w_sh = Window.orderBy("shard_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # tiny: one row per shard — single-task window is fine HERE
+    base = shard_tot.select(
+        "shard_id", F.coalesce(F.sum("tot").over(w_sh), F.lit(0)).alias("base")
+    )
+    packed = local.join(F.broadcast(base), "shard_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("base") + F.col("local_prefix")).alias("prefix"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("prefix") / budget).cast("long").alias("bin_id"),
+        (F.col("prefix") % budget).cast("long").alias("bin_offset"),
+    )
+
+
+SQL_PACK_BINS = r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS prefix
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(prefix // 2048 AS BIGINT) AS bin_id,
+           CAST(prefix % 2048 AS BIGINT) AS bin_offset
+    FROM p
+"""
+
+
 QUERIES = {
     "langid": q_langid,
     "quality_score": q_quality_score,
@@ -432,6 +540,8 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "corpus_filter": q_corpus_filter,
     "tfidf_keywords": q_tfidf_keywords,
+    "repetition_score": q_repetition_score,
+    "pack_bins": q_pack_bins,
 }
 
 ORACLES = {
@@ -443,4 +553,6 @@ ORACLES = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "corpus_filter": SQL_CORPUS_FILTER,
     "tfidf_keywords": SQL_TFIDF,
+    "repetition_score": SQL_REPETITION,
+    "pack_bins": SQL_PACK_BINS,
 }

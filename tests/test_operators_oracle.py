@@ -111,3 +111,41 @@ def test_dedup_clusters_consistency(spark):
     assert (g.doc_id.min() == g.doc_id.min().index).all()
     assert (clusters.groupby("cluster_id").is_survivor.sum() == 1).all()
     assert (g.doc_id.size() == g.cluster_size.first()).all()
+
+
+def test_pack_bins_shard_invariance_and_semantics(spark):
+    """pack_bins is a two-phase distributed prefix scan: results must
+    be IDENTICAL for any shard constant (the parallelism knob cannot
+    change the packing), bin_ids must be non-decreasing in doc_id
+    order, and every bin's offset stays inside the budget (quantized
+    next-fit: a bin may overflow by at most one document)."""
+    from libpdf_spark.operators.textops import q_pack_bins
+
+    sf = "/root/testdata/sf0.001"
+    a = q_pack_bins(spark, sf, shard=1000).orderBy("doc_id").toPandas()
+    b = q_pack_bins(spark, sf, shard=7).orderBy("doc_id").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.bin_id.diff().fillna(0) >= 0).all()
+    assert (a.bin_offset < 2048).all() and (a.bin_offset >= 0).all()
+    # exclusive prefix: first doc starts at offset 0 of bin 0
+    assert a.iloc[0].bin_id == 0 and a.iloc[0].bin_offset == 0
+    # prefix identity: bin_id*budget + offset == cumsum of previous docs
+    prefix = a.n_tokens.cumsum().shift(1).fillna(0).astype(int)
+    assert ((a.bin_id * 2048 + a.bin_offset) == prefix).all()
+
+
+def test_repetition_score_values(spark):
+    from libpdf_spark.operators.textops import q_repetition_score
+
+    r = (
+        q_repetition_score(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id").toPandas()
+    )
+    assert (r.n_distinct <= r.n_words).all()
+    assert (r.dup_ppm >= 0).all() and (r.dup_ppm <= 1000000).all()
+    # integer ppm identity
+    assert (
+        r.dup_ppm == (r.n_words - r.n_distinct) * 1000000 // r.n_words
+    ).all()
