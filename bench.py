@@ -44,6 +44,7 @@ HEADLINE = [
     "cosine_topk",
     "simhash",
     "token_count",
+    "pack_bins",
 ]
 
 
