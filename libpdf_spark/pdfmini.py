@@ -463,28 +463,33 @@ def _aes_enc_block(rks: list[list[int]], block: bytes) -> bytes:
     ))
 
 
-_DEC_SCHED_CACHE: dict[tuple, list[list[int]]] = {}
+_DEC_SCHED_CACHE: dict[int, tuple[list[list[int]], list[list[int]]]] = {}
 
 
 def _dec_schedule(rks: list[list[int]]) -> list[list[int]]:
     """Equivalent-inverse-cipher round keys: InvMixColumns applied to
     the middle round keys (via the coefficient-only U tables), cached
-    per schedule so CBC decryption pays the transform once."""
-    key = tuple(w for rk in rks for w in rk)
-    ik = _DEC_SCHED_CACHE.get(key)
-    if ik is None:
-        n = len(rks) - 1
-        ik = [list(rks[0])]
-        for r in range(1, n):
-            ik.append([
-                _U0[w >> 24] ^ _U1[(w >> 16) & 0xFF]
-                ^ _U2[(w >> 8) & 0xFF] ^ _U3[w & 0xFF]
-                for w in rks[r]
-            ])
-        ik.append(list(rks[n]))
-        if len(_DEC_SCHED_CACHE) > 64:
-            _DEC_SCHED_CACHE.clear()
-        _DEC_SCHED_CACHE[key] = ik
+    per schedule so CBC decryption pays the transform once. Keyed by
+    ``id(rks)`` — called once per 16-byte BLOCK, so hashing the 60-word
+    schedule itself would cost ~8% of the block decrypt; the cache
+    entry holds a reference to ``rks``, so its id cannot be reused
+    while the entry exists, and the identity check guards eviction
+    races."""
+    entry = _DEC_SCHED_CACHE.get(id(rks))
+    if entry is not None and entry[0] is rks:
+        return entry[1]
+    n = len(rks) - 1
+    ik = [list(rks[0])]
+    for r in range(1, n):
+        ik.append([
+            _U0[w >> 24] ^ _U1[(w >> 16) & 0xFF]
+            ^ _U2[(w >> 8) & 0xFF] ^ _U3[w & 0xFF]
+            for w in rks[r]
+        ])
+    ik.append(list(rks[n]))
+    if len(_DEC_SCHED_CACHE) > 64:
+        _DEC_SCHED_CACHE.clear()
+    _DEC_SCHED_CACHE[id(rks)] = (rks, ik)
     return ik
 
 
