@@ -2323,9 +2323,15 @@ def _content_tokens(data: bytes):
                 continue
             op = m.group(0).decode("latin-1")
             i = m.end()
-            if op == "BI":  # inline image: skip to EI (foreign PDFs)
+            if op == "BI":  # inline image (foreign PDFs): skip the
+                # parameter dict + binary payload, but surface the
+                # image as an operator so the interpreter can record a
+                # figure at the current CTM (pdfminer emits an LTImage
+                # for inline images; the reference turns those into
+                # figures via extract.py's image pass)
                 e = data.find(b"EI", i)
                 i = n if e < 0 else e + 2
+                yield ("op", "__inline_image__")
                 continue
             yield ("op", op)
 
@@ -2970,9 +2976,11 @@ def _interpret_content(
                 flush_path("fill")
             elif op == "n":
                 path_rects = []
-            elif op == "Do" and operands:
-                name = str(operands[-1])
-                if name in xobjects:
+            elif (op == "Do" and operands) or op == "__inline_image__":
+                name = str(operands[-1]) if op == "Do" else None
+                if op == "__inline_image__" or name in xobjects:
+                    # images (XObject or inline) paint the CTM's unit
+                    # square — that IS the figure bbox
                     xa, ya = _apply(ctm, 0.0, 0.0)
                     xb, yb = _apply(ctm, 1.0, 1.0)
                     figures.append(

@@ -1188,3 +1188,26 @@ def test_agl_map_generation():
     assert _glyph_to_char("uni4E2D") == "中"
     assert _glyph_to_char("u1F600") == "😀"
     assert _glyph_to_char("nonexistentglyphname") is None
+
+
+def test_inline_image_becomes_figure():
+    """BI…ID…EI inline images (foreign-producer construct): the binary
+    payload is skipped, but the image is recorded as a FIGURE at the
+    current CTM's unit square — pdfminer yields an LTImage here and
+    the reference's image pass turns it into a figure."""
+    content = (
+        b"q 120 0 0 80 100 600 cm\n"
+        b"BI /W 4 /H 4 /CS /G /BPC 8 ID "
+        + bytes(range(16))
+        + b" EI\nQ\n"
+        b"BT /F1 12 Tf 100 500 Td (after) Tj ET"
+    )
+    d = parse_pdf(_foreign_pdf(content))
+    figs = d["figures"]
+    assert len(figs) == 1, figs
+    f = figs[0]
+    assert (f["x0"], f["y0"], f["x1"], f["y1"]) == (100.0, 600.0, 220.0, 680.0)
+    # the content after EI still parses (tokenizer resumed correctly)
+    chs = d["chars"]
+    texts = chs["text"] if isinstance(chs, dict) else [c["text"] for c in chs]
+    assert "".join(texts) == "after"
