@@ -1128,6 +1128,12 @@ def test_decode_pdf_string_korean_property():
             raw = s.encode("euc_kr")
         except UnicodeEncodeError:
             return  # syllables outside KS X 1001 are unencodable
+        try:
+            raw.decode("utf-8")
+            return  # utf-8-valid byte strings take the utf-8 branch
+            # by design (e.g. '튱' = C6 AD is valid UTF-8 for 'ƭ')
+        except UnicodeDecodeError:
+            pass
         assert decode_pdf_string(raw) == s
 
     run()
