@@ -314,3 +314,39 @@ def test_corpus_contains_all_pdf_serialization_variants(corpus):
     assert any(has_cid), "no Identity-H CID PDF in corpus"
     assert any(has_bare), "no plain PDF in corpus"
     assert any(has_encrypt)
+
+
+def test_unsupported_pdf_feature_is_recorded_failure_e2e(spark):
+    """A PDF payload using a feature the parser deliberately rejects
+    (an unimplemented predefined CMap) must flow through extract_turns
+    as ONE turn's recorded parse failure — doc_found=true,
+    parse_ok=false, error naming the cause — while sibling turns in
+    the same Arrow batch extract normally."""
+    from libpdf_spark.fixtures import FAMILIES, doc_from_text
+    from libpdf_spark.payload import embed_pdf
+    from libpdf_spark.pdfmini import write_pdf
+
+    good = FAMILIES["plain_paragraphs"]()
+    bad_pdf = write_pdf(doc_from_text("apple banana").build(), cid_font="ucs2")
+    bad_pdf = bad_pdf.replace(
+        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /GBK-EUC-H\x20\x20\x20\x20"
+    )
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["u1", "u1"],
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["tool", "tool"],
+            "text": [
+                embed_pdf(bad_pdf, prefix="attached: "),
+                embed_pdf(write_pdf(good.build()), prefix="attached: "),
+            ],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+        }
+    )
+    out = extract_turns(spark.createDataFrame(pdf), ExtractConfig()).toPandas()
+    out = out.sort_values("turn_idx").reset_index(drop=True)
+    assert bool(out.loc[0, "doc_found"]) and not bool(out.loc[0, "parse_ok"])
+    assert "unsupported" in out.loc[0, "error"].lower()
+    assert bool(out.loc[1, "parse_ok"])
+    assert out.loc[1, "extracted_text"] == good.expected_text()
