@@ -727,6 +727,10 @@ class _StdSecurity:
         return k[: min(len(self.key) + 5, 16)]
 
     def decrypt_bytes(self, data: bytes, num: int) -> bytes:
+        if not data:
+            # some producers emit a bare () for empty encrypted
+            # strings instead of IV+pad — pdfminer returns b"" too
+            return data
         k = self._obj_key(num)
         if self.cfm in ("AESV2", "AESV3"):
             return _aes_cbc_decrypt(k, data)
