@@ -2573,13 +2573,41 @@ _UCS2_CMAPS = {
     "UniCNS-UCS2-H", "UniCNS-UCS2-V",
 }
 
-# Variable-width predefined CMaps (mixed 1/2-byte codespace). The
-# 90ms family IS Shift-JIS/cp932: single-byte ASCII + half-width kana
-# (0xA1-0xDF), double-byte leads 0x81-0x9F/0xE0-0xFC — so TEXT is an
-# exact cp932 decode of the code bytes, and only /W width lookup needs
-# the generated code→CID subset.
-_RKSJ_CMAPS = {"90ms-RKSJ-H", "90ms-RKSJ-V", "90msp-RKSJ-H", "90msp-RKSJ-V"}
-_CP932_TEXT: dict[int, str] = {}  # code → decoded char memo (hot path)
+# Variable-width predefined CMaps (mixed 1/2-byte codespace), each a
+# national multi-byte encoding with a stdlib codec: TEXT is an exact
+# codec decode of the code bytes, and only /W width lookup needs the
+# generated code→CID subset. Spec per name: (codec, lead ranges,
+# trail ranges) — a byte inside a lead range followed by a byte inside
+# a trail range forms a 2-byte code; everything else is 1-byte.
+# * 90ms/90msp-RKSJ = Shift-JIS/cp932 (single-byte ASCII + half-width
+#   kana, leads 0x81-0x9F/0xE0-0xFC, trails 0x40-0xFC minus 0x7F)
+# * GBK-EUC = GBK/cp936 (leads 0x81-0xFE, trails 0x40-0xFE minus 0x7F)
+# * KSC-EUC = EUC-KR (leads and trails both 0xA1-0xFE)
+# * ETen-B5 = Big5 (leads 0x81-0xFE, trails 0x40-0x7E + 0xA1-0xFE)
+_VWIDTH_SPECS: dict[str, tuple[str, tuple, tuple]] = {}
+for _n in ("90ms-RKSJ-H", "90ms-RKSJ-V", "90msp-RKSJ-H", "90msp-RKSJ-V"):
+    _VWIDTH_SPECS[_n] = (
+        "cp932", ((0x81, 0x9F), (0xE0, 0xFC)), ((0x40, 0x7E), (0x80, 0xFC))
+    )
+for _n in ("GBK-EUC-H", "GBK-EUC-V"):
+    _VWIDTH_SPECS[_n] = (
+        "gbk", ((0x81, 0xFE),), ((0x40, 0x7E), (0x80, 0xFE))
+    )
+for _n in ("KSC-EUC-H", "KSC-EUC-V"):
+    _VWIDTH_SPECS[_n] = ("euc_kr", ((0xA1, 0xFE),), ((0xA1, 0xFE),))
+for _n in ("KSCms-UHC-H", "KSCms-UHC-V"):
+    # UHC (cp949) extends EUC-KR with low-trail rows
+    _VWIDTH_SPECS[_n] = (
+        "cp949",
+        ((0x81, 0xFE),),
+        ((0x41, 0x5A), (0x61, 0x7A), (0x81, 0xFE)),
+    )
+for _n in ("ETen-B5-H", "ETen-B5-V", "B5pc-H", "B5pc-V"):
+    _VWIDTH_SPECS[_n] = (
+        "big5", ((0x81, 0xFE),), ((0x40, 0x7E), (0xA1, 0xFE))
+    )
+_RKSJ_CMAPS = set(_VWIDTH_SPECS)  # historical name; all variable CMaps
+_CODE_TEXT_MEMO: dict[tuple[str, int], str] = {}  # (codec, code) → char
 
 _CID_MAP_CACHE: dict[str, dict[int, int]] = {}
 
@@ -2606,7 +2634,13 @@ def _predefined_cid_map(name: str) -> dict[int, int]:
     full-width forms) also fall to /DW."""
     m = _CID_MAP_CACHE.get(name)
     if m is None:
-        if name in _RKSJ_CMAPS:
+        if name in _VWIDTH_SPECS and not name.startswith("90ms"):
+            # EUC/Big5/UHC variable CMaps: single-byte ASCII rides the
+            # shared proportional-Latin row; every multi-byte row
+            # falls to /DW (real producers key /W on Latin and set
+            # /DW 1000 for the full-width rows)
+            m = {c: c - 0x1F for c in range(0x20, 0x7F)}
+        elif name in _RKSJ_CMAPS:
             # keys are RAW CODES (cp932 byte values), not code points.
             # 90ms maps single-byte Latin to the half-width row,
             # 90msp to the proportional row; half-width katakana
@@ -2695,9 +2729,10 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
                 info["cidmap"] = None
             elif enc_str in _UCS2_CMAPS:
                 info["cidmap"] = _predefined_cid_map(enc_str)
-            elif enc_str in _RKSJ_CMAPS:
+            elif enc_str in _VWIDTH_SPECS:
                 info["cidmap"] = _predefined_cid_map(enc_str)
                 info["variable"] = True  # mixed 1/2-byte codespace
+                info["vspec"] = _VWIDTH_SPECS[enc_str]
             else:
                 raise ValueError(
                     f"unsupported Type0 /Encoding {enc_str!r}"
@@ -2751,34 +2786,38 @@ def _interpret_content(
         code_texts = None  # per-code text for variable-width CMaps
         single = None      # per-code single-byte flags (Tw scope)
         if two and font.get("variable"):
-            # RKSJ (cp932) mixed codespace: 1-byte ASCII/half-width
-            # kana, 2-byte leads 0x81-0x9F / 0xE0-0xFC. code→text is
-            # memoized module-wide — CJK corpora repeat a few hundred
-            # glyphs across millions of chars, and a dict hit beats a
-            # bytes.decode call per glyph on the hot extraction path.
+            # variable-width predefined CMap (RKSJ/EUC/Big5/UHC):
+            # tokenize per the CMap's lead/trail ranges, decode each
+            # code's bytes with the matching national codec. code→text
+            # is memoized module-wide — CJK corpora repeat a few
+            # hundred glyphs across millions of chars, and a dict hit
+            # beats a bytes.decode call per glyph on the hot path.
+            codec, leads, trails = font["vspec"]
             codes, code_texts, single = [], [], []
-            memo = _CP932_TEXT
+            memo = _CODE_TEXT_MEMO
             i2 = 0
             while i2 < len(raw):
                 b0 = raw[i2]
-                if (0x81 <= b0 <= 0x9F or 0xE0 <= b0 <= 0xFC) and (
-                    i2 + 1 < len(raw)
-                    and 0x40 <= raw[i2 + 1] <= 0xFC
-                    and raw[i2 + 1] != 0x7F
+                if (
+                    any(lo <= b0 <= hi for lo, hi in leads)
+                    and i2 + 1 < len(raw)
+                    and any(lo <= raw[i2 + 1] <= hi for lo, hi in trails)
                 ):
                     code = (b0 << 8) | raw[i2 + 1]
-                    t_ = memo.get(code)
+                    key = (codec, code)
+                    t_ = memo.get(key)
                     if t_ is None:
-                        t_ = raw[i2 : i2 + 2].decode("cp932", "replace")
-                        memo[code] = t_
+                        t_ = raw[i2 : i2 + 2].decode(codec, "replace")
+                        memo[key] = t_
                     single.append(False)
                     i2 += 2
                 else:
                     code = b0
-                    t_ = memo.get(code)
+                    key = (codec, code)
+                    t_ = memo.get(key)
                     if t_ is None:
-                        t_ = raw[i2 : i2 + 1].decode("cp932", "replace")
-                        memo[code] = t_
+                        t_ = raw[i2 : i2 + 1].decode(codec, "replace")
+                        memo[key] = t_
                     single.append(True)
                     i2 += 1
                 codes.append(code)

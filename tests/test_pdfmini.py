@@ -1030,14 +1030,15 @@ def test_predefined_cid_map_values():
 
 
 def test_unsupported_predefined_cmap_recorded_failure():
-    """An unimplemented predefined CMap (e.g. GBK-EUC-H) must be a
-    RECORDED parse failure — never silently-garbled 2-byte text.
-    (90ms-RKSJ-H moved to the SUPPORTED set in round 5.)"""
+    """An unimplemented predefined CMap (UniJIS-UTF16-H: surrogate
+    pairs need a different codespace model) must be a RECORDED parse
+    failure — never silently-garbled 2-byte text. (90ms-RKSJ and the
+    EUC/Big5/UHC families moved to the SUPPORTED set in round 5.)"""
     from libpdf_spark.fixtures import doc_from_text
 
     data = write_pdf(doc_from_text("apple banana").build(), cid_font="ucs2")
     bad = data.replace(
-        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /GBK-EUC-H\x20\x20\x20\x20"
+        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /UniJIS-UTF16-H"
     )
     assert bad != data
     with pytest.raises(ValueError, match="unsupported Type0"):
@@ -1217,3 +1218,64 @@ def test_inline_image_becomes_figure():
     chs = d["chars"]
     texts = chs["text"] if isinstance(chs, dict) else [c["text"] for c in chs]
     assert "".join(texts) == "after"
+
+
+def _cjk_foreign_pdf(cmap_name: str, payload_hex: str, w: str = "") -> bytes:
+    """Hand-rolled foreign Type0 PDF using a predefined CMap."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 4 0 R >> >> /Contents 6 0 R >>",
+        (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /Foreign "
+            f"/Encoding /{cmap_name} /DescendantFonts [5 0 R] >>"
+        ).encode(),
+        (
+            "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Foreign "
+            "/CIDSystemInfo << /Registry (Adobe) /Ordering (X) "
+            f"/Supplement 0 >> /DW 1000 /W [{w}] >>"
+        ).encode(),
+        b"",  # placeholder replaced below
+    ]
+    content = (
+        b"BT /F1 10 Tf 72 700 Td <" + payload_hex.encode() + b"> Tj ET"
+    )
+    objs[5] = (
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "cmap,codec,text,cid_a",
+    [
+        ("GBK-EUC-H", "gbk", "中文ab", 66),
+        ("KSC-EUC-H", "euc_kr", "한글ab", 66),
+        ("KSCms-UHC-H", "cp949", "한글ab", 66),
+        ("ETen-B5-H", "big5", "台灣ab", 66),
+        ("B5pc-H", "big5", "台灣ab", 66),
+        ("90ms-RKSJ-H", "cp932", "日本ab", 296),  # 90ms: half-width row
+    ],
+)
+def test_variable_cmap_families_foreign(cmap, codec, text, cid_a):
+    """Every supported variable-width predefined CMap extracts exact
+    text from a foreign-producer Type0 file: 2-byte CJK codes through
+    the national codec, 1-byte ASCII through the Latin row (the
+    proportional row for EUC/Big5/UHC, the half-width row for 90ms).
+    Geometry: CJK glyphs advance /DW (1000), ASCII uses the /W row."""
+    payload = text.encode(codec).hex().upper()
+    d = parse_pdf(
+        _cjk_foreign_pdf(cmap, payload, w=f"{cid_a} [600] {cid_a+1} [600]")
+    )
+    chs = d["chars"]
+    texts = chs["text"] if isinstance(chs, dict) else [c["text"] for c in chs]
+    assert "".join(texts) == text, (cmap, texts)
+    xs = chs["x0"] if isinstance(chs, dict) else [c["x0"] for c in chs]
+    # 10pt font: two full-width (DW 1000) glyphs then 600-width ASCII
+    assert xs == [72.0, 82.0, 92.0, 98.0], (cmap, xs)
