@@ -2609,6 +2609,15 @@ for _n in ("ETen-B5-H", "ETen-B5-V", "B5pc-H", "B5pc-V"):
 _RKSJ_CMAPS = set(_VWIDTH_SPECS)  # historical name; all variable CMaps
 _CODE_TEXT_MEMO: dict[tuple[str, int], str] = {}  # (codec, code) → char
 
+# UTF-16 predefined CMaps: 2-byte code UNITS like the UCS-2 family,
+# plus surrogate PAIRS forming one 4-byte code for a supplementary
+# character. BMP codes share the UCS-2 counterpart's CID table;
+# merged supplementary codes are unmapped (→ /DW).
+_UTF16_CMAPS = {
+    "UniJIS-UTF16-H", "UniJIS-UTF16-V", "UniGB-UTF16-H", "UniGB-UTF16-V",
+    "UniKS-UTF16-H", "UniKS-UTF16-V", "UniCNS-UTF16-H", "UniCNS-UTF16-V",
+}
+
 _CID_MAP_CACHE: dict[str, dict[int, int]] = {}
 
 
@@ -2729,6 +2738,11 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
                 info["cidmap"] = None
             elif enc_str in _UCS2_CMAPS:
                 info["cidmap"] = _predefined_cid_map(enc_str)
+            elif enc_str in _UTF16_CMAPS:
+                info["cidmap"] = _predefined_cid_map(
+                    enc_str.replace("UTF16", "UCS2")
+                )
+                info["utf16"] = True  # merge surrogate pairs
             elif enc_str in _VWIDTH_SPECS:
                 info["cidmap"] = _predefined_cid_map(enc_str)
                 info["variable"] = True  # mixed 1/2-byte codespace
@@ -2833,6 +2847,35 @@ def _interpret_content(
             codes = [
                 (raw[i] << 8) | raw[i + 1] for i in range(0, len(raw), 2)
             ]
+            if font.get("utf16"):
+                # UTF-16 CMaps: a surrogate pair is ONE 4-byte code
+                # mapping to one supplementary character
+                merged, texts = [], []
+                k2 = 0
+                while k2 < len(codes):
+                    c0 = codes[k2]
+                    if (
+                        0xD800 <= c0 <= 0xDBFF
+                        and k2 + 1 < len(codes)
+                        and 0xDC00 <= codes[k2 + 1] <= 0xDFFF
+                    ):
+                        cp = 0x10000 + (
+                            ((c0 - 0xD800) << 10) | (codes[k2 + 1] - 0xDC00)
+                        )
+                        merged.append((c0 << 16) | codes[k2 + 1])
+                        texts.append(chr(cp))
+                        k2 += 2
+                    else:
+                        merged.append(c0)
+                        # a LONE surrogate (corrupt input) must not
+                        # leak into extracted text — Arrow cannot
+                        # serialize it
+                        texts.append(
+                            chr(c0) if not 0xD800 <= c0 <= 0xDFFF
+                            else "�"
+                        )
+                        k2 += 1
+                codes, code_texts = merged, texts
             wmap = font.get("w") or {}
             dw = font["dw"]
             cidmap = font.get("cidmap")  # None == Identity (code == CID)

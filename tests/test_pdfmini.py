@@ -1030,15 +1030,16 @@ def test_predefined_cid_map_values():
 
 
 def test_unsupported_predefined_cmap_recorded_failure():
-    """An unimplemented predefined CMap (UniJIS-UTF16-H: surrogate
-    pairs need a different codespace model) must be a RECORDED parse
-    failure — never silently-garbled 2-byte text. (90ms-RKSJ and the
-    EUC/Big5/UHC families moved to the SUPPORTED set in round 5.)"""
+    """An unimplemented predefined CMap (Add-RKSJ-H, a legacy
+    Japanese variable CMap) must be a RECORDED parse failure — never
+    silently-garbled 2-byte text. (90ms-RKSJ, the EUC/Big5/UHC
+    families and the UTF-16 family all moved to the SUPPORTED set in
+    round 5.)"""
     from libpdf_spark.fixtures import doc_from_text
 
     data = write_pdf(doc_from_text("apple banana").build(), cid_font="ucs2")
     bad = data.replace(
-        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /UniJIS-UTF16-H"
+        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /Add-RKSJ-H\x20\x20\x20"
     )
     assert bad != data
     with pytest.raises(ValueError, match="unsupported Type0"):
@@ -1279,3 +1280,26 @@ def test_variable_cmap_families_foreign(cmap, codec, text, cid_a):
     xs = chs["x0"] if isinstance(chs, dict) else [c["x0"] for c in chs]
     # 10pt font: two full-width (DW 1000) glyphs then 600-width ASCII
     assert xs == [72.0, 82.0, 92.0, 98.0], (cmap, xs)
+
+
+def test_utf16_cmap_with_surrogate_pairs():
+    """UniJIS-UTF16-H: BMP codes behave like the UCS-2 family; a
+    surrogate pair is ONE 4-byte code mapping to one supplementary
+    character ('𠮷' U+20BB7). Lone surrogates from corrupt input
+    become U+FFFD, never an Arrow-unserializable surrogate char."""
+    text = "日a𠮷b"
+    payload = text.encode("utf-16-be").hex().upper()
+    d = parse_pdf(_cjk_foreign_pdf("UniJIS-UTF16-H", payload,
+                                   w="66 [600] 67 [600]"))
+    chs = d["chars"]
+    texts = chs["text"] if isinstance(chs, dict) else [c["text"] for c in chs]
+    assert "".join(texts) == text, texts
+    xs = chs["x0"] if isinstance(chs, dict) else [c["x0"] for c in chs]
+    # 日 via DW (1000), a via /W CID 66 (600), 𠮷 via DW, b via /W
+    assert xs == [72.0, 82.0, 88.0, 98.0], xs
+    # lone surrogate → U+FFFD
+    lone = "D842".upper() + "0041"  # unpaired high surrogate then 'A'
+    d2 = parse_pdf(_cjk_foreign_pdf("UniJIS-UTF16-H", lone))
+    chs2 = d2["chars"]
+    t2 = chs2["text"] if isinstance(chs2, dict) else [c["text"] for c in chs2]
+    assert t2 == ["�", "A"], t2

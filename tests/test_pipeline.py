@@ -329,7 +329,7 @@ def test_unsupported_pdf_feature_is_recorded_failure_e2e(spark):
     good = FAMILIES["plain_paragraphs"]()
     bad_pdf = write_pdf(doc_from_text("apple banana").build(), cid_font="ucs2")
     bad_pdf = bad_pdf.replace(
-        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /UniJIS-UTF16-H"
+        b"/Encoding /UniJIS-UCS2-H", b"/Encoding /Add-RKSJ-H\x20\x20\x20"
     )
     pdf = pd.DataFrame(
         {
