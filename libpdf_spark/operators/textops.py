@@ -481,7 +481,10 @@ def q_pack_bins(spark, sf_dir, budget: int = 2048, shard: int = 1000):
     docs = load_parallel(spark, sf_dir, "documents", "doc_id").select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
-        (F.col("doc_id").cast("long") / shard).cast("long").alias("shard_id"),
+        # integer div, not float division: (x/shard).cast(long) is only
+        # exact while doc_id < 2^53 and leans on IEEE rounding at shard
+        # boundaries — `div` is exact for every BIGINT (ADVICE r5)
+        F.expr(f"CAST(doc_id AS BIGINT) div {int(shard)}").alias("shard_id"),
     )
     w_in = (
         Window.partitionBy("shard_id")

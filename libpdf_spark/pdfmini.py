@@ -707,13 +707,12 @@ class _StdSecurity:
         else:
             raise ValueError("encrypted PDF: non-empty user password")
         self.cfm = "AESV3"
-        # /Perms sanity (Algorithm 13): AES-256-ECB decrypt must expose
-        # the literal "adb" marker at bytes 9-11 — a wrong key never does
-        perms = enc.get("Perms")
-        if isinstance(perms, bytes) and len(perms) >= 16:
-            rks = _aes_key_expand(self.key)
-            if _aes_dec_block(rks, perms[:16])[9:12] != b"adb":
-                raise ValueError("encrypted PDF: /Perms verification failed")
+        # /Perms (Algorithm 13) is deliberately NOT validated: pdfminer
+        # (the reference's handler behind extract.py:96) never checks
+        # it, and real producers ship mangled /Perms with perfectly
+        # valid /U //UE keys — the /U hash match above already proves
+        # the file key, so a failed "adb" marker would only reject
+        # files the reference opens (ADVICE r5).
 
     def _obj_key(self, num: int) -> bytes:
         import hashlib

@@ -745,10 +745,18 @@ def test_encrypted_pdf_wrong_password_recorded_failure():
     # owner path while leaving /U verifiable:
     j = data5.find(b"/UE <") + 5
     badue = data5[:j] + (b"00" if data5[j:j+2] != b"00" else b"11") + data5[j+2:]
-    # /UE feeds the USER key-unwrap; user validation still passes, so
-    # the wrong unwrapped key must be caught by /Perms verification
-    with pytest.raises(ValueError, match="ncrypt|Perms"):
+    # /UE feeds the USER key-unwrap; user validation still passes and
+    # /Perms is deliberately NOT validated (pdfminer ignores it —
+    # ADVICE r5), so the wrong unwrapped key surfaces as garbage
+    # stream decryption → still a RECORDED ValueError, just later
+    with pytest.raises(ValueError):
         parse_pdf(badue)
+    # ...and the flip side of ignoring /Perms: a producer-mangled
+    # /Perms with INTACT /U //UE keys must parse byte-exact (the
+    # reference opens such files)
+    k = data5.find(b"/Perms <") + 8
+    badp = data5[:k] + (b"00" if data5[k:k+2] != b"00" else b"11") + data5[k+2:]
+    assert parse_pdf(badp)["chars"] == parse_pdf(data5)["chars"]
 
 
 def test_aes256_v5_r6_handler_details():
