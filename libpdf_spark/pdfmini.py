@@ -119,11 +119,30 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
     # Word-produced PDF titles and every byte in it is ALSO a valid
     # Shift-JIS lead — b"John\x92s Report" decodes in SJIS as
     # "John痴 Report" (the apostrophe eats the following 's' as a trail
-    # byte). chardet in the reference picks cp1252 here, so bytes from
-    # that range must NOT trigger the CJK sniff on their own (ADVICE
-    # r4). Cost: an SJIS title whose lead bytes are ALL in 0x91-0x97
-    # now falls back to cp1252/latin-1 — far rarer than smart quotes.
-    has_c1 = any(0x7F <= b <= 0x9F and not (0x91 <= b <= 0x97) for b in raw)
+    # byte). chardet in the reference picks cp1252 here, so those bytes
+    # must not trigger the CJK sniff IN the smart-punctuation shape.
+    # The shape is positional, not a blanket range exclusion: smart
+    # punctuation precedes an ASCII LETTER ('\x92s', '\x93Best'),
+    # while an SJIS kanji lead in 0x91-0x97 pairs with another HIGH
+    # byte or ASCII punctuation trail (日本 = \x93\xfa\x96\x7b). The
+    # r4 blanket exclusion silently mis-decoded short SJIS titles
+    # whose every lead fell in 0x91-0x97 — the UTF-16BE-CJK branch
+    # intercepted them as plausible-looking wrong ideographs (ADVICE
+    # r5). Residual divergence: an SJIS pair whose trail IS an ASCII
+    # letter (e.g. 様 = 0x97 0x6C) still defers to cp1252 — the
+    # strict-decode gate downstream keeps that safe, never garbled.
+    def _is_trigger(i: int, b: int) -> bool:
+        if not (0x7F <= b <= 0x9F):
+            return False
+        if 0x91 <= b <= 0x97:
+            nxt = raw[i + 1] if i + 1 < len(raw) else None
+            if nxt is not None and (
+                0x41 <= nxt <= 0x5A or 0x61 <= nxt <= 0x7A
+            ):
+                return False  # smart-quote shape: cp1252 jurisdiction
+        return True
+
+    has_c1 = any(_is_trigger(i, b) for i, b in enumerate(raw))
     if has_c1:
         # NOTE: half-width katakana (0xFF61-0xFF9F) is deliberately NOT
         # in the plausibility set — BOM-less UTF-16BE kana bytes (lead

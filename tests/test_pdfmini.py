@@ -990,6 +990,27 @@ def test_decode_pdf_string_cp1252_smart_punctuation():
     assert decode_pdf_string(b"ab\x90\ncdz") == "ab\x90\ncdz"
 
 
+def test_decode_pdf_string_sjis_leads_in_smart_punct_range():
+    """ADVICE r5: the r4 blanket 0x91-0x97 exclusion silently
+    mis-decoded short SJIS titles whose EVERY lead byte fell in that
+    range — b'\\x93\\xfa\\x96\\x7b' (SJIS 日本) skipped the sniff and the
+    BOM-less UTF-16BE-CJK branch returned plausible-looking wrong
+    ideographs (鏺陻). The exclusion is now positional: a 0x91-0x97
+    byte defers to cp1252 only when followed by an ASCII letter (the
+    smart-punctuation shape); pairing with a high byte or punctuation
+    triggers the SJIS sniff."""
+    assert decode_pdf_string(b"\x93\xfa\x96\x7b") == "日本"          # 2 kanji
+    assert decode_pdf_string("日本語".encode("shift_jis")) == "日本語"
+    # kanji whose every lead is in 0x91-0x97, mixed with ASCII digits
+    assert decode_pdf_string("第3章 設計".encode("shift_jis")) == "第3章 設計"
+    # smart punctuation before letters still decodes as cp1252
+    assert decode_pdf_string(b"John\x92s Report") == "John’s Report"
+    assert decode_pdf_string(b"\x93Best\x94 Practices") == "“Best” Practices"
+    # em-dash followed by space: triggers the sniff, strict SJIS/GBK
+    # decode fails on the 0x20 trail, falls back to cp1252 cleanly
+    assert decode_pdf_string(b"Report \x97 2024") == "Report — 2024"
+
+
 def test_predefined_ucs2_cmap_roundtrip():
     """VERDICT r4 missing #2: a CJK fixture using the predefined
     /UniJIS-UCS2-H CMap (NOT Identity-H, NO /ToUnicode) must extract
