@@ -1332,3 +1332,179 @@ def test_utf16_cmap_with_surrogate_pairs():
     chs2 = d2["chars"]
     t2 = chs2["text"] if isinstance(chs2, dict) else [c["text"] for c in chs2]
     assert t2 == ["�", "A"], t2
+
+
+def _minimal_type0_pdf(cmap: bytes, tounicode: bytes, w_arr: str,
+                       hexstr: str) -> bytes:
+    """Hand-built single-page PDF with a Type0 font whose /Encoding is
+    an EMBEDDED CMap stream — the foreign-producer shape pdfminer
+    handles via its CMap machinery (reference textbox.py:934-977)."""
+    content = f"BT /F1 10 Tf 10 700 Td <{hexstr}> Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Test /Encoding 6 0 R "
+        b"/DescendantFonts [8 0 R] /ToUnicode 7 0 R >>",
+        b"<< /Length %d /Type /CMap >>\nstream\n%s\nendstream"
+        % (len(cmap), cmap),
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(tounicode), tounicode),
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 /W [" + w_arr.encode() + b"] >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def _tounicode_cmap(pairs: list[tuple[int, str, int]]) -> bytes:
+    """(code, text, nbytes) triples → a bfchar /ToUnicode CMap."""
+    lines = "\n".join(
+        f"<{code:0{2 * n}x}> <{t.encode('utf-16-be').hex()}>"
+        for code, t, n in pairs
+    )
+    return (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        f"{len(pairs)} beginbfchar\n{lines}\nendbfchar\n"
+        "endcmap\nend\nend"
+    ).encode()
+
+
+def test_embedded_cmap_encoding_roundtrip():
+    """ADVICE r5 / VERDICT r5 ask #2: a Type0 font whose /Encoding is
+    an EMBEDDED CMap stream must extract byte-exact text AND widths —
+    codes→CIDs via the parsed cidrange/cidchar entries (/W keys on
+    CIDs that deliberately differ from the codes), codes→text via
+    /ToUnicode. Composes with compression, AES-256 and xref streams."""
+    import re as _re
+
+    from libpdf_spark.fixtures import doc_from_text
+
+    doc = doc_from_text("Hello World 日本語テスト embedded cmap").build()
+    base = parse_pdf(write_pdf(doc, cid_font=True))
+    for kw in (dict(), dict(compress=True),
+               dict(compress=True, encrypt="aes256"), dict(xref_stream=True)):
+        got = parse_pdf(write_pdf(doc, cid_font="embedded", **kw))
+        assert got["chars"] == base["chars"], kw
+    data = write_pdf(doc, cid_font="embedded")
+    # both entry forms are present and the CMap is load-bearing:
+    # corrupting the cidrange CID base moves every glyph in the run
+    assert b"begincidrange" in data and b"begincidchar" in data
+    bad = _re.sub(rb"> \d+\nendcidrange", b"> 9999\nendcidrange", data)
+    assert bad != data
+    assert parse_pdf(bad)["chars"] != base["chars"]
+
+
+def test_embedded_cmap_without_tounicode_recorded_failure():
+    """An embedded CMap maps codes to CIDs, not to Unicode — without
+    /ToUnicode the text would need the full Adobe ordering tables, so
+    the document stays a RECORDED parse failure (never garbled text)."""
+    from libpdf_spark.fixtures import doc_from_text
+
+    doc = doc_from_text("embedded no tounicode").build()
+    data = write_pdf(doc, cid_font="embedded")
+    bad = data.replace(b"/ToUnicode", b"/IgnoreXXXX")  # same length
+    with pytest.raises(ValueError, match="embedded CMap"):
+        parse_pdf(bad)
+
+
+def test_embedded_cmap_unreadable_degrades_to_identity():
+    """ADVICE r5: an UNREADABLE embedded CMap on a font that carries
+    /ToUnicode degrades to Identity 2-byte tokenization — the text
+    stays EXACT via /ToUnicode (widths fall to /DW); it must NOT
+    become a parse failure."""
+    from libpdf_spark.fixtures import doc_from_text
+
+    doc = doc_from_text("degrade gracefully").build()
+    base = parse_pdf(write_pdf(doc, cid_font=True))
+    data = write_pdf(doc, cid_font="embedded")
+    # neuter every mapping block keyword (same byte length) so the
+    # CMap parses to nothing and the fallback engages
+    bad = data.replace(b"begincidrange", b"beginXidrange").replace(
+        b"begincidchar", b"beginXidchar"
+    )
+    got = parse_pdf(bad)
+    assert got["chars"]["text"] == base["chars"]["text"]
+
+
+def test_parse_embedded_cmap_unit():
+    """Parser unit: codespace ranges of mixed widths, cidrange runs,
+    cidchar singletons, usecmap extraction, and malformed rejects."""
+    from libpdf_spark.pdfmini import _parse_embedded_cmap
+
+    cmap = (
+        b"begincmap\n"
+        b"2 begincodespacerange\n<00> <7f>\n<8140> <fcfc>\n"
+        b"endcodespacerange\n"
+        b"1 begincidrange\n<41> <43> 100\nendcidrange\n"
+        b"2 begincidchar\n<8140> 500\n<8141> 777\nendcidchar\n"
+        b"endcmap"
+    )
+    cidmap, cspace, use = _parse_embedded_cmap(cmap)
+    assert cidmap == {0x41: 100, 0x42: 101, 0x43: 102,
+                      0x8140: 500, 0x8141: 777}
+    assert cspace == [(1, b"\x00", b"\x7f"), (2, b"\x81\x40", b"\xfc\xfc")]
+    assert use is None
+    cidmap2, _, use2 = _parse_embedded_cmap(
+        b"begincmap\n/UniJIS-UCS2-H usecmap\n"
+        b"1 begincidchar\n<0041> 999\nendcidchar\nendcmap"
+    )
+    assert use2 == "UniJIS-UCS2-H" and cidmap2 == {0x41: 999}
+    with pytest.raises(ValueError):
+        _parse_embedded_cmap(b"begincmap\nendcmap")  # defines nothing
+    with pytest.raises(ValueError):
+        _parse_embedded_cmap(
+            b"1 begincodespacerange\n<00> <7fff>\nendcodespacerange\n"
+            b"1 begincidchar\n<41> 1\nendcidchar"
+        )  # lo/hi width mismatch
+
+
+def test_embedded_cmap_mixed_codespace_tokenization():
+    """Mixed 1/2-byte codespace from an embedded CMap: show strings
+    tokenize byte-wise against the declared ranges (shortest first),
+    widths key on the mapped CIDs, text on the per-code /ToUnicode."""
+    cmap = (
+        b"begincmap\n"
+        b"2 begincodespacerange\n<00> <7f>\n<8140> <fcfc>\n"
+        b"endcodespacerange\n"
+        b"2 begincidchar\n<41> 10\n<42> 11\nendcidchar\n"
+        b"1 begincidrange\n<8140> <8140> 500\nendcidrange\n"
+        b"endcmap"
+    )
+    tounicode = _tounicode_cmap(
+        [(0x41, "A", 1), (0x42, "B", 1), (0x8140, "あ", 2)]
+    )
+    data = _minimal_type0_pdf(
+        cmap, tounicode, "10 [500] 11 [500] 500 [1000]", "41814042"
+    )
+    chars = parse_pdf(data)["chars"]
+    assert chars["text"] == ["A", "あ", "B"]
+    # advances: 'A' 500/1000*10 = 5, 'あ' 1000/1000*10 = 10, 'B' 5
+    assert chars["x0"] == pytest.approx([10.0, 15.0, 25.0], abs=1e-6)
+    assert chars["x1"] == pytest.approx([15.0, 25.0, 30.0], abs=1e-6)
+
+
+def test_embedded_cmap_usecmap_inherits_predefined():
+    """`/UniJIS-UCS2-H usecmap` inside an embedded CMap inherits the
+    predefined table; LOCAL entries win on overlap. 'A' (code 0x41)
+    is locally remapped to CID 999 (width 250), 'B' rides the
+    inherited proportional-Latin row (CID 35, width 750)."""
+    cmap = (
+        b"begincmap\n/UniJIS-UCS2-H usecmap\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 begincidchar\n<0041> 999\nendcidchar\nendcmap"
+    )
+    tounicode = _tounicode_cmap([(0x41, "A", 2), (0x42, "B", 2)])
+    data = _minimal_type0_pdf(
+        cmap, tounicode, "999 [250] 35 [750]", "00410042"
+    )
+    chars = parse_pdf(data)["chars"]
+    assert chars["text"] == ["A", "B"]
+    assert chars["x0"] == pytest.approx([10.0, 12.5], abs=1e-6)
+    assert chars["x1"] == pytest.approx([12.5, 20.0], abs=1e-6)
