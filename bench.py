@@ -67,6 +67,45 @@ def _kernel_burn(n_docs: int) -> int:
     return n_docs
 
 
+PROBES: list[dict] = []
+
+
+def record_probe(tag: str, n_docs: int = 50) -> None:
+    """Drift sentinel (VERDICT r5 ask #1): a ~150 ms single-thread run
+    of the REAL extraction kernel, appended to the emitted JSON with a
+    wall-clock timestamp. Identical fixed work every time, so the
+    docs/sec series is a direct record of host-CPU conditions ACROSS
+    the bench session — when a round's query trials degrade while the
+    bracketing probes also degrade, the artifact itself proves host
+    drift rather than an engine regression (BENCH_r05 was uniformly
+    1.25-1.8× slower than r04 across code-untouched queries and the
+    JSON couldn't show why)."""
+    if not PROBES:
+        _kernel_burn(10)  # untimed: imports + JIT, not host conditions
+    t0 = time.perf_counter()
+    _kernel_burn(n_docs)
+    dt = time.perf_counter() - t0
+    PROBES.append(
+        {
+            "tag": tag,
+            "ts": round(time.time(), 2),
+            "docs_per_sec": round(n_docs / dt, 1),
+        }
+    )
+
+
+def probe_summary() -> dict:
+    rates = [p["docs_per_sec"] for p in PROBES]
+    return {
+        "what": (
+            "single-thread real-kernel docs/sec at fixed work; "
+            "spread >~1.3 across tags = host drift during this session"
+        ),
+        "probes": PROBES,
+        "spread": round(max(rates) / min(rates), 3) if rates else None,
+    }
+
+
 def cpu_capacity(procs: int) -> float:
     """Measured hardware capacity of this process's pinned core set,
     in kernel-docs/s, using the real extraction kernel under plain
@@ -258,12 +297,14 @@ def bench_queries(spark, trials: int = 4) -> tuple[dict[str, float], dict[str, l
         # drop intra-query persist() results — timed runs must pay the
         # full recompute, not replay a warm cache
         spark.catalog.clearCache()
-    for _ in range(trials):
+    for r in range(trials):
+        record_probe(f"queries_round{r}")
         for name in HEADLINE:
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             all_trials[name].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
+    record_probe("queries_end")
     times = {name: min(ts) for name, ts in all_trials.items()}
     return times, all_trials
 
@@ -345,7 +386,7 @@ def main():
         spark.stop()
         return
     os.makedirs(WORK, exist_ok=True)
-    in_path = os.path.join(WORK, "transcripts_v8")
+    in_path = os.path.join(WORK, "transcripts_v9")
 
     if "--scaling-level" in sys.argv:
         # child process: one parallelism level, one JVM, pinned cores
@@ -383,7 +424,7 @@ def main():
 
         replicate = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "6"))
         text_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_REPEAT", "4"))
-        in_path = os.path.join(WORK, f"transcripts_v8_x{replicate}_t{text_repeat}")
+        in_path = os.path.join(WORK, f"transcripts_v9_x{replicate}_t{text_repeat}")
         spark = make_session(CPUS)
         n_turns = materialize_transcripts(
             spark, in_path, replicate=replicate, text_repeat=text_repeat
@@ -501,6 +542,7 @@ def main():
             _write_md(out)
         return
 
+    record_probe("session_start")
     spark = make_session(CPUS)
     n_turns = materialize_transcripts(spark, in_path)
     # second scale point (VERDICT r3 ask #4): the 6×-replicated /
@@ -512,12 +554,13 @@ def main():
     # while the interleaved headline stayed tight) so any host-CPU
     # drift window hits both corpora alike and min-of-4 stays
     # comparable between them.
-    big_path = os.path.join(WORK, "transcripts_v8_x6_t4")
+    big_path = os.path.join(WORK, "transcripts_v9_x6_t4")
     n_big = materialize_transcripts(spark, big_path, replicate=6, text_repeat=4)
     run_extraction(spark, in_path)   # warm-up (JIT, page cache)
     run_extraction(spark, big_path)  # warm-up
     ex_trials, big_trials = [], []
-    for _ in range(4):
+    for r in range(4):
+        record_probe(f"extract_round{r}")
         e, n = run_extraction(spark, in_path)
         ex_trials.append(round(e, 3))
         eb, _nb = run_extraction(spark, big_path)
@@ -545,6 +588,7 @@ def main():
                     "trials": big_trials,
                     "turns_per_sec": round(n_big / big_sec, 1),
                 },
+                "drift_sentinel": probe_summary(),
             }
         )
     )

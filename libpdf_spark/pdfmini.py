@@ -2770,6 +2770,20 @@ _UTF16_CMAPS = {
 
 _CID_MAP_CACHE: dict[str, dict[int, int]] = {}
 
+# Adobe-Japan1 sequential runs shared by the UniJIS (keyed on UCS-2
+# code points) and 90ms-RKSJ (keyed on cp932 codes) generated tables:
+# (unicode start, CID start, length). These are the publicly fixed
+# ranges of the Adobe CMaps — hiragana/katakana (r4) plus the JIS
+# symbol-row head and row-3 full-width alphanumerics (r6).
+_JAPAN1_RUNS: tuple[tuple[int, int, int], ...] = (
+    (0x3000, 633, 3),     # 　、。 — ideographic space/comma/full stop
+    (0xFF10, 780, 10),    # ０-９ full-width digits
+    (0xFF21, 790, 26),    # Ａ-Ｚ full-width upper
+    (0xFF41, 816, 26),    # ａ-ｚ full-width lower
+    (0x3041, 842, 0x53),  # ぁ-ん hiragana
+    (0x30A1, 925, 0x56),  # ァ-ヶ katakana
+)
+
 
 def _predefined_cid_map(name: str) -> dict[int, int]:
     """GENERATED code→CID subset for the predefined UCS-2 CMaps —
@@ -2784,13 +2798,20 @@ def _predefined_cid_map(name: str) -> dict[int, int]:
     * UniJIS only — hiragana U+3041-U+3093 → CID 842-924 and katakana
       U+30A1-U+30F6 → CID 925-1010 (Adobe-Japan1 supplement 0 kana
       rows, also sequential).
+    * UniJIS only (r6, VERDICT r5 ask #3) — the remaining publicly
+      fixed sequential runs of the Adobe UniJIS-UCS2-H CMap:
+      ideographic space/comma/stop U+3000-U+3002 → CID 633-635 (the
+      head of the JIS symbol row), full-width digits U+FF10-U+FF19 →
+      CID 780-789, full-width A-Z U+FF21-U+FF3A → CID 790-815, and
+      full-width a-z U+FF41-U+FF5A → CID 816-841 (the JIS row-3
+      alphanumerics, ending exactly where hiragana starts at 842).
 
     Everything else (ideographs in particular) is deliberately
     UNMAPPED and falls back to the descendant font's /DW — real CJK
     producers set /DW 1000 and key /W almost exclusively on the
-    proportional/kana rows, so the fallback is the common case, not a
-    loss. Documented divergence: irregularly-ordered rows (JIS symbols,
-    full-width forms) also fall to /DW."""
+    proportional/kana/full-width rows, so the fallback is the common
+    case, not a loss. Documented divergence: the irregularly-ordered
+    tails of the JIS symbol rows also fall to /DW."""
     m = _CID_MAP_CACHE.get(name)
     if m is None:
         if name in _VWIDTH_SPECS and not name.startswith("90ms"):
@@ -2810,19 +2831,19 @@ def _predefined_cid_map(name: str) -> dict[int, int]:
             else:
                 m = {c: c + 231 - 0x20 for c in range(0x20, 0x7F)}
             m.update({c: 326 + (c - 0xA1) for c in range(0xA1, 0xE0)})
-            for k in range(0x53):  # hiragana ぁ..ん → CID 842+
-                code = int.from_bytes(chr(0x3041 + k).encode("cp932"), "big")
-                m[code] = 842 + k
-            for k in range(0x56):  # katakana ァ..ヶ → CID 925+
-                code = int.from_bytes(chr(0x30A1 + k).encode("cp932"), "big")
-                m[code] = 925 + k
+            for cp0, cid0, n in _JAPAN1_RUNS:
+                for k in range(n):
+                    code = int.from_bytes(
+                        chr(cp0 + k).encode("cp932"), "big"
+                    )
+                    m[code] = cid0 + k
         elif "HW" in name:  # half-width Latin row (Adobe-Japan1 231-325)
             m = {cp: cp + 231 - 0x20 for cp in range(0x20, 0x7F)}
         else:
             m = {cp: cp - 0x1F for cp in range(0x20, 0x7F)}
         if name.startswith("UniJIS"):
-            m.update({0x3041 + k: 842 + k for k in range(0x53)})  # ぁ..ん
-            m.update({0x30A1 + k: 925 + k for k in range(0x56)})  # ァ..ヶ
+            for cp0, cid0, n in _JAPAN1_RUNS:
+                m.update({cp0 + k: cid0 + k for k in range(n)})
         _CID_MAP_CACHE[name] = m
     return m
 

@@ -1508,3 +1508,49 @@ def test_embedded_cmap_usecmap_inherits_predefined():
     assert chars["text"] == ["A", "B"]
     assert chars["x0"] == pytest.approx([10.0, 12.5], abs=1e-6)
     assert chars["x1"] == pytest.approx([12.5, 20.0], abs=1e-6)
+
+
+def test_japan1_fullwidth_sequential_cid_rows():
+    """VERDICT r5 ask #3: the generated UniJIS table carries the
+    remaining publicly-fixed sequential Adobe-Japan1 runs — JIS
+    symbol-row head (U+3000-02 → 633-635) and the row-3 full-width
+    alphanumerics (０-９ → 780, Ａ-Ｚ → 790, ａ-ｚ → 816, ending
+    flush against hiragana at 842). Both the UCS-2 (code-point-keyed)
+    and 90ms-RKSJ (cp932-code-keyed) tables agree."""
+    from libpdf_spark.pdfmini import _predefined_cid_map
+
+    jis = _predefined_cid_map("UniJIS-UCS2-H")
+    assert jis[0x3000] == 633 and jis[0x3002] == 635
+    assert jis[0xFF10] == 780 and jis[0xFF19] == 789
+    assert jis[0xFF21] == 790 and jis[0xFF3A] == 815
+    assert jis[0xFF41] == 816 and jis[0xFF5A] == 841
+    assert jis[0x3041] == 842  # hiragana begins exactly after
+    rksj = _predefined_cid_map("90ms-RKSJ-H")
+    for ch in "０９ＡＺａｚ　、。":
+        code = int.from_bytes(ch.encode("cp932"), "big")
+        assert rksj[code] == jis[ord(ch)], ch
+
+
+def test_fullwidth_width_sensitive_fixture():
+    """Width-sensitive fixture (VERDICT r5 ask #3): a UCS-2-CMap PDF
+    whose text rides the NEW full-width rows must round-trip
+    byte-exact, and corrupting the /W entry that serves a full-width
+    CID must MOVE glyphs — proving widths flow through the generated
+    table for these rows rather than falling to /DW."""
+    import re as _re
+
+    from libpdf_spark.fixtures import doc_from_text
+
+    doc = doc_from_text("ＡＢＣ０１２ あア ｘｙｚ abc").build()
+    base = parse_pdf(write_pdf(doc, cid_font=True))
+    data = write_pdf(doc, cid_font="ucs2")
+    assert parse_pdf(data)["chars"] == base["chars"]
+    # the /W array must key full-width Ａ on CID 790, not fall to /DW
+    # (CID-keyed entries like `790 [600]` only ever appear inside /W)
+    m = _re.search(rb"\b790 \[[0-9.]+\]", data)
+    assert m, "full-width A (CID 790) missing from /W"
+    bad = _re.sub(rb"\b790 \[[0-9.]+\]", b"790 [5.0]", data)
+    assert bad != data
+    got = parse_pdf(bad)["chars"]
+    assert got["text"] == base["chars"]["text"]       # text unchanged
+    assert got["x1"] != base["chars"]["x1"]           # geometry moved
