@@ -913,6 +913,21 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
         (write_pdf(cjk, compress=True, encrypt="aes256"), 250),
         (write_pdf(cjk, cid_font="ucs2"), 1000),
         (write_pdf(cjk, compress=True, cid_font="rksj"), 1000),
+        # r6 (VERDICT r5 ask #4): the newer decode paths — embedded
+        # CMap streams, UTF-16 surrogate merging, variable-width
+        # national CMap tokenization, /Differences glyph names
+        (write_pdf(cjk, compress=True, cid_font="embedded"), 1000),
+        (_cjk_foreign_pdf(
+            "UniJIS-UTF16-H", "0041d842dfb70042dc00", "1 [500]"
+        ), 1000),
+        (_cjk_foreign_pdf(
+            "GBK-EUC-H", "d6d0cec4616230", "66 [600] 67 [600]"
+        ), 1000),
+        (_encoding_pdf(
+            b"<< /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [65 /eacute /ntilde 97 /Euro /uni0416] >>",
+            b"BT /F1 12 Tf 100 700 Td (ABa b) Tj ET",
+        ), 1000),
     ]
     # Budget: 1,000 trials × 9 writer shapes per run (~25 s; the
     # aes256 shape runs 250 — a mutation landing in its /Encrypt dict
@@ -923,6 +938,9 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
     # /Differences shape) and flushed out + fixed three more escapes
     # (AttributeError via bytes-typed /Resources, /Font, and trailer
     # dicts) — zero escapes remain over the full offline budget.
+    # Round-6 added the embedded-CMap, UTF-16-surrogate, GBK-EUC
+    # variable-width and /Differences shapes; an offline sweep ran
+    # 10,000 trials per new shape (40k total) with zero escapes.
     rng = _random.Random(20260816)
     for data, trials in corpora:
         for trial in range(trials):
