@@ -309,6 +309,80 @@ def bench_queries(spark, trials: int = 4) -> tuple[dict[str, float], dict[str, l
     return times, all_trials
 
 
+SF1_QUERIES = ["pricing_summary", "nation_revenue", "top1_per_group"]
+
+
+def materialize_sf1(spark) -> tuple[str, int]:
+    """sf≈1 scale point (VERDICT r5 ask #6): the sf0.1 FACT tables
+    (lineitem, orders) replicated 10× with consistent orderkey offsets
+    — join structure is preserved per replica (l_orderkey and
+    o_orderkey shift by the same ``rep × K``), dims are copied
+    untouched, so the three headline relational queries run against
+    10× the fact rows with identical selectivities. Deterministic, no
+    external data; written once to tmpfs."""
+    from pyspark.sql import functions as F
+
+    sf_tag = os.path.basename(os.path.normpath(SF_DIR))
+    out = os.path.join(WORK, f"sf1_facts_{sf_tag}")
+    li_path = os.path.join(out, "lineitem.parquet")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out, spark.read.parquet(li_path).count()
+    os.makedirs(out, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(out, f"{t}.parquet"))
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    k = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    rep = spark.range(10).withColumnRenamed("id", "rep")
+    orders.crossJoin(F.broadcast(rep)).withColumn(
+        "o_orderkey", (F.col("o_orderkey") + F.col("rep") * k).cast("long")
+    ).drop("rep").repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    li.crossJoin(F.broadcast(rep)).withColumn(
+        "l_orderkey", (F.col("l_orderkey") + F.col("rep") * k).cast("long")
+    ).drop("rep").repartition(32).write.mode("overwrite").parquet(li_path)
+    n = spark.read.parquet(li_path).count()
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write(str(n))
+    return out, n
+
+
+def bench_sf1(spark, trials: int = 3) -> dict:
+    """Run the top-3 relational queries at the 10×-fact scale point:
+    untimed warm-up, then interleaved trials, min reported — same
+    discipline as the headline suite."""
+    import __spark_entry__ as entrymod
+
+    sf1_dir, n_li = materialize_sf1(spark)
+    qs = entrymod.queries()
+    all_trials: dict[str, list] = {name: [] for name in SF1_QUERIES}
+    for name in SF1_QUERIES:
+        qs[name](spark, sf1_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+    for r in range(trials):
+        record_probe(f"sf1_round{r}")
+        for name in SF1_QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            all_trials[name].append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+    return {
+        "what": (
+            "sf0.1 facts × 10 (consistent orderkey offsets, dims "
+            "untouched) — a 10× fact-row scale point for the top-3 "
+            "relational queries"
+        ),
+        "lineitem_rows": n_li,
+        "queries": {n: min(ts) for n, ts in all_trials.items()},
+        "query_trials": all_trials,
+    }
+
+
 def bench_skew(spark) -> dict:
     """Evidence for the salted repartition (north_star): ONE hot
     conversation holding every document-bearing turn. Unsalted
@@ -578,6 +652,10 @@ def main():
     qtimes, qtrials = bench_queries(spark)
     qtimes["extract_turns"] = round(extract_sec, 3)
     qtrials["extract_turns"] = ex_trials
+    try:
+        sf1 = bench_sf1(spark)
+    except Exception as exc:  # never lose the headline artifact
+        sf1 = {"error": f"{type(exc).__name__}: {exc}"}
     total = round(sum(qtimes.values()), 3)
     print(
         json.dumps(
@@ -596,6 +674,7 @@ def main():
                     "trials": big_trials,
                     "turns_per_sec": round(n_big / big_sec, 1),
                 },
+                "sf1_facts": sf1,
                 "drift_sentinel": probe_summary(),
             }
         )
