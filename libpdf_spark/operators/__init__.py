@@ -10,6 +10,7 @@ correctness gate hashes values after sorting columns by name.
 
 from libpdf_spark.operators import (
     dedup,
+    events,
     extraction,
     multimodal,
     relational,
@@ -18,7 +19,10 @@ from libpdf_spark.operators import (
     textops,
 )
 
-_MODULES = (relational, scalarfn, dedup, similarity, textops, multimodal, extraction)
+_MODULES = (
+    relational, scalarfn, events, dedup, similarity, textops,
+    multimodal, extraction,
+)
 
 
 def all_queries():

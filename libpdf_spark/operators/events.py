@@ -1,0 +1,169 @@
+"""Event-stream relational operators over the ``events`` table —
+the transcript/telemetry-shaped workloads a conversation pipeline
+runs next to extraction (the reference's data model is per-document;
+these are the multi-turn/temporal analogues the north_rule's
+transcript corpus needs at 10^12-turn scale).
+
+Every operator is pure DataFrame expressions — no UDFs — so Catalyst
+keeps them inside whole-stage codegen, and each one partitions by its
+natural key (user_id / event_type / window), which is exactly the
+shuffle a 1000-executor cluster wants.
+"""
+
+from __future__ import annotations
+
+from libpdf_spark.operators.common import load
+
+SESSION_GAP_S = 1800  # classic 30-minute inactivity rule
+
+
+def _F():
+    from pyspark.sql import functions as F
+
+    return F
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (the canonical stateful-stream shape,
+    run as a batch window): a user's events sort by (ts, event_id),
+    a gap > 30 min opens a new session, and the output is one row per
+    session with its ordinal, size and micro-second span.
+
+    100 TB posture: both windows partition by ``user_id`` — a single
+    hash exchange on the natural key; no driver state, no iteration.
+    The same logic streams via ``applyInPandasWithState`` (the
+    streaming module covers that); this is the reconciliation/backfill
+    batch form.
+    """
+    F = _F()
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_session = (
+        F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_S * 1_000_000
+    )
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(F.when(new_session, 1).otherwise(0)).over(w).cast("long"),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .withColumn("span_us", (F.col("end_us") - F.col("start_us")))
+    )
+
+
+SQL_SESSIONIZE = f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > {SESSION_GAP_S * 1_000_000} THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(brk) OVER (PARTITION BY user_id
+                  ORDER BY ts_us, event_id) AS BIGINT) AS session_idx
+      FROM e
+    )
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS span_us
+    FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_props_extract(spark, sf_dir):
+    """Semi-structured payload projection: pull the integer ``k`` out
+    of the JSON ``props`` string and aggregate per event type. The
+    extraction is a regexp (portable across engines, JVM-side, no
+    JSON-extension dependency); sums ride DECIMAL so the hash oracle
+    is exact."""
+    F = _F()
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    return (
+        ev.withColumn(
+            "k",
+            F.when(k == "", None).otherwise(k).cast("long"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("decimal(38,0)").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_PROPS_EXTRACT = r"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+                  AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS DECIMAL(38,0)) AS sum_k,
+           MAX(k) AS max_k
+    FROM e GROUP BY event_type
+"""
+
+
+def q_hourly_windows(spark, sf_dir):
+    """Tumbling one-hour windows per event type — the batch form of
+    the streaming windowed aggregation (watermark metrics run the same
+    shape in ``streaming/``). Window start ships as epoch micros;
+    value sums ride DECIMAL(38,6) for cross-engine hash equality."""
+    F = _F()
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("decimal(38,6)")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_HOURLY_WINDOWS = """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6))
+             AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "sessionize": q_sessionize,
+    "props_extract": q_props_extract,
+    "hourly_windows": q_hourly_windows,
+}
+
+ORACLES = {
+    "sessionize": SQL_SESSIONIZE,
+    "props_extract": SQL_PROPS_EXTRACT,
+    "hourly_windows": SQL_HOURLY_WINDOWS,
+}
