@@ -23,6 +23,18 @@ def _F():
     return F
 
 
+def _ts_us():
+    """Micros since the NAIVE epoch for the TIMESTAMP_NTZ ``ts``
+    column, timezone-independent (``unix_micros`` rejects NTZ, and
+    ``unix_micros(cast(ts as timestamp))`` silently shifts by the
+    session timezone — measured +5 h under America/New_York). This
+    form equals DuckDB's ``epoch_us(ts)`` under every session tz."""
+    F = _F()
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (the canonical stateful-stream shape,
     run as a batch window): a user's events sort by (ts, event_id),
@@ -41,7 +53,7 @@ def q_sessionize(spark, sf_dir):
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("ts_us"),
+        _ts_us().alias("ts_us"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     new_session = (
@@ -100,7 +112,12 @@ def q_props_extract(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count("k").cast("long").alias("n_with_k"),
-            F.sum("k").cast("decimal(38,0)").alias("sum_k"),
+            # sum in DECIMAL (exact), ship as DOUBLE (dtype parity
+            # with DuckDB's .df() materialization — the repo-wide
+            # oracle pattern, see q_pricing_summary)
+            F.sum(F.col("k").cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_k"),
             F.max("k").alias("max_k"),
         )
     )
@@ -115,7 +132,7 @@ SQL_PROPS_EXTRACT = r"""
     )
     SELECT event_type,
            CAST(COUNT(k) AS BIGINT) AS n_with_k,
-           CAST(SUM(k) AS DECIMAL(38,0)) AS sum_k,
+           CAST(SUM(CAST(k AS DECIMAL(38,0))) AS DOUBLE) AS sum_k,
            MAX(k) AS max_k
     FROM e GROUP BY event_type
 """
@@ -124,24 +141,25 @@ SQL_PROPS_EXTRACT = r"""
 def q_hourly_windows(spark, sf_dir):
     """Tumbling one-hour windows per event type — the batch form of
     the streaming windowed aggregation (watermark metrics run the same
-    shape in ``streaming/``). Window start ships as epoch micros;
-    value sums ride DECIMAL(38,6) for cross-engine hash equality."""
+    shape in ``streaming/``). The window key is pure integer
+    arithmetic on epoch micros (``F.window`` would work too, but a
+    computed BIGINT group key aggregates without the struct plumbing
+    and is engine-portable bit-for-bit); value sums accumulate in
+    DECIMAL and ship as DOUBLE for cross-engine dtype parity."""
     F = _F()
-    ev = load(spark, sf_dir, "events")
-    win = F.window("ts", "1 hour")
+    hour_us = 3_600_000_000
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
     return (
-        ev.groupBy(win.alias("w"), "event_type")
+        ev.withColumn(
+            "window_start_us",
+            F.col("ts_us") - F.col("ts_us") % hour_us,
+        )
+        .groupBy("window_start_us", "event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum(F.col("value").cast("decimal(20,6)"))
-            .cast("decimal(38,6)")
+            .cast("double")
             .alias("sum_value"),
-        )
-        .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
-            "event_type",
-            "n",
-            "sum_value",
         )
     )
 
@@ -150,7 +168,7 @@ SQL_HOURLY_WINDOWS = """
     SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(38,6))
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
              AS sum_value
     FROM events GROUP BY 1, 2
 """
