@@ -683,6 +683,30 @@ def main():
 
 
 def _write_md(out: dict) -> None:
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    if os.path.exists(md_path):
+        # the file carries a HAND-CURATED multi-session history (plus
+        # round write-ups); a full rewrite silently destroyed it once
+        # (round 6). Append this session as a compact block instead.
+        big_k = max(map(int, out["levels"]))
+        lv8, lvb = out["levels"]["8"], out["levels"][str(big_k)]
+        with open(md_path, "a") as f:
+            f.write(
+                "\n## Scaling session (auto-appended by bench.py "
+                "--scaling --write-md)\n\n"
+                f"corpus `{out['sf']}`, {out['turns']} turns — salted "
+                f"normalized **{out['value']}** (bus-aware "
+                f"{out['salted_bus_aware_efficiency']}), salt_input "
+                f"{out['salt_input_normalized_efficiency']}, "
+                f"shuffle-free {out['unsalted_normalized_efficiency']}; "
+                f"capacity ratios cpu {out['hw_capacity_ratio_measured']}"
+                f" / bus {out['bus_capacity_ratio_measured']}; t/s "
+                f"salted {lv8['turns_per_sec']} @8c → "
+                f"{lvb['turns_per_sec']} @{big_k}c. Merge into the "
+                "session-history table with a clean/contaminated "
+                "verdict.\n"
+            )
+        return
     big = max(map(int, out["levels"]))
     lines = [
         "# BENCH — scaling evidence (sandbox proxy for N vs 4N executors)",
