@@ -2937,22 +2937,25 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
             if isinstance(enc_name, Stream):
                 # EMBEDDED CMap stream (§9.7.5.3; ADVICE r5 + VERDICT
                 # r5 ask #2): parse codespace/cidrange/cidchar for
-                # tokenization + code→CID widths. Text needs
-                # /ToUnicode (keyed on CODES, so it composes) — an
-                # embedded CMap maps codes to CIDs, not to Unicode,
-                # and without /ToUnicode the CID→text step would need
-                # the full Adobe ordering tables (pdfminer has them;
-                # a recorded failure here, never silent garble).
-                if info["tounicode"] is None:
-                    raise ValueError(
-                        "unsupported Type0 /Encoding: embedded CMap "
-                        "without /ToUnicode"
-                    )
+                # tokenization + code→CID widths. TEXT needs one of:
+                # * /ToUnicode (keyed on CODES, so it composes), or
+                # * a `usecmap` base from a text-known predefined
+                #   family — UCS-2/UTF-16 (chr(code) is exact) or a
+                #   variable-width national CMap (codec decode) —
+                #   pdfminer opens these through the same inheritance.
+                # An embedded CMap with NEITHER maps codes to CIDs
+                # only; recovering text would need the full Adobe
+                # ordering tables → RECORDED failure, never garble.
                 try:
                     cidmap, cspace, use = _parse_embedded_cmap(
                         _stream_bytes(enc_name)
                     )
                 except (ValueError, KeyError, TypeError):
+                    if info["tounicode"] is None:
+                        raise ValueError(
+                            "unsupported Type0 /Encoding: unreadable "
+                            "embedded CMap without /ToUnicode"
+                        ) from None
                     # unreadable CMap but /ToUnicode present: degrade
                     # to Identity 2-byte tokenization — text stays
                     # EXACT via /ToUnicode; widths fall back to
@@ -2971,6 +2974,25 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
                         merged = dict(base)
                         merged.update(cidmap)  # local entries win
                         cidmap = merged
+                if info["tounicode"] is None:
+                    # no /ToUnicode: text must come from the usecmap
+                    # base family's own text model
+                    if use in _UTF16_CMAPS:
+                        info["utf16"] = True  # chr + surrogate merge
+                    elif use in _VWIDTH_SPECS:
+                        # inherit the base CMap's tokenizer + codec
+                        # decode wholesale (its codespace supersedes
+                        # any local ranges, matching usecmap
+                        # inheritance semantics)
+                        info["variable"] = True
+                        info["vspec"] = _VWIDTH_SPECS[use]
+                        cspace = None
+                    elif use not in _UCS2_CMAPS:
+                        raise ValueError(
+                            "unsupported Type0 /Encoding: embedded "
+                            "CMap without /ToUnicode or a text-known "
+                            "usecmap base"
+                        )
                 info["cidmap"] = cidmap
                 if cspace and any(n != 2 for n, _, _ in cspace):
                     info["cspace"] = cspace  # mixed-width tokenizer

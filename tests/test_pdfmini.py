@@ -1352,7 +1352,7 @@ def test_utf16_cmap_with_surrogate_pairs():
     assert t2 == ["�", "A"], t2
 
 
-def _minimal_type0_pdf(cmap: bytes, tounicode: bytes, w_arr: str,
+def _minimal_type0_pdf(cmap: bytes, tounicode: bytes | None, w_arr: str,
                        hexstr: str) -> bytes:
     """Hand-built single-page PDF with a Type0 font whose /Encoding is
     an EMBEDDED CMap stream — the foreign-producer shape pdfminer
@@ -1365,11 +1365,13 @@ def _minimal_type0_pdf(cmap: bytes, tounicode: bytes, w_arr: str,
         b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
         b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
         b"<< /Type /Font /Subtype /Type0 /BaseFont /Test /Encoding 6 0 R "
-        b"/DescendantFonts [8 0 R] /ToUnicode 7 0 R >>",
+        b"/DescendantFonts [8 0 R]"
+        + (b" /ToUnicode 7 0 R" if tounicode is not None else b"")
+        + b" >>",
         b"<< /Length %d /Type /CMap >>\nstream\n%s\nendstream"
         % (len(cmap), cmap),
         b"<< /Length %d >>\nstream\n%s\nendstream"
-        % (len(tounicode), tounicode),
+        % (len(tounicode or b""), tounicode or b""),
         b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test "
         b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
         b"/Supplement 0 >> /DW 1000 /W [" + w_arr.encode() + b"] >>",
@@ -1592,3 +1594,37 @@ def test_big5_short_fragment_recovery():
     # leads outside Level 1 (rare-hanzi rows alias with lowercase
     # accents) do not recover without the long-run signature
     assert decode_pdf_string(b"caf\xe9 cr\xe8me") == "café crème"
+
+
+def test_embedded_cmap_usecmap_text_without_tounicode():
+    """pdfminer parity extension (r6): an embedded CMap with NO
+    /ToUnicode is still extractable when its `usecmap` base belongs to
+    a text-known family — UCS-2 (chr(code) exact) here; a local
+    cidchar override still steers widths. Without ANY text source the
+    document stays a recorded failure."""
+    cmap = (
+        b"begincmap\n/UniJIS-UCS2-H usecmap\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 begincidchar\n<0041> 999\nendcidchar\nendcmap"
+    )
+    data = _minimal_type0_pdf(cmap, None, "999 [250] 35 [750]", "00410042")
+    chars = parse_pdf(data)["chars"]
+    assert chars["text"] == ["A", "B"]
+    assert chars["x0"] == pytest.approx([10.0, 12.5], abs=1e-6)
+    assert chars["x1"] == pytest.approx([12.5, 20.0], abs=1e-6)
+    # no usecmap, no /ToUnicode → recorded failure
+    bare = (
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 begincidchar\n<0041> 999\nendcidchar\nendcmap"
+    )
+    with pytest.raises(ValueError, match="embedded"):
+        parse_pdf(_minimal_type0_pdf(bare, None, "999 [250]", "0041"))
+    # variable-width base family: cp932 codec supplies the text
+    vcmap = (
+        b"begincmap\n/90ms-RKSJ-H usecmap\n"
+        b"1 begincidchar\n<82a0> 842\nendcidchar\nendcmap"
+    )
+    vdata = _minimal_type0_pdf(vcmap, None, "842 [1000]", "82a041")
+    vchars = parse_pdf(vdata)["chars"]
+    assert vchars["text"] == ["あ", "A"]
