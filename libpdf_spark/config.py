@@ -72,6 +72,10 @@ class ExtractConfig:
     # --- page-range pruning ("3-5,7") — core.py:536-553 ---
     pages: tuple = field(default=(), hash=False)  # empty = all pages
 
+    # --- document password (pdfminer's single-password argument
+    # behind reference extract.py:96; tried as user then owner) ---
+    pdf_password: str = ""
+
     # --- Spark execution ---
     salt_buckets: int = 8               # salted repartition on conv_id (north_star)
     arrow_max_records: int = 256        # cap payload bytes per Arrow batch

@@ -198,7 +198,7 @@ def embed_pdf(pdf_bytes: bytes, prefix: str = "", suffix: str = "") -> str:
     return f"{prefix}{PDF_OPEN}{b64}{PDF_CLOSE}{suffix}"
 
 
-def find_payload(text: str | None) -> dict | None:
+def find_payload(text: str | None, pdf_password: str = "") -> dict | None:
     """Extract + parse the embedded document from a turn field.
 
     Two embeddings are recognized: the JSON layout-markup envelope and
@@ -235,5 +235,5 @@ def find_payload(text: str | None) -> dict | None:
             raw = base64.b64decode(text[start + len(PDF_OPEN) : stop])
         except Exception as exc:  # noqa: BLE001 — normalized to ValueError
             raise ValueError(f"bad base64 PDF payload: {exc}") from exc
-        return pdfmini.parse_pdf(raw)
+        return pdfmini.parse_pdf(raw, password=pdf_password)
     return None

@@ -661,18 +661,26 @@ def _hash_2b(pwd: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
             return k[:32]
 
 
-class _StdSecurity:
-    """Standard security handler, EMPTY user/owner password only.
+def _pad_pwd(pw: bytes) -> bytes:
+    """Algorithm 2 step (a): pad/truncate a password to 32 bytes."""
+    return (pw + _PAD)[:32]
 
-    Algorithms 2/3/4/5 of PDF 32000 §7.6.3 (V 1/2/4, RC4 + AES-128)
+
+class _StdSecurity:
+    """Standard security handler — empty OR supplied password.
+
+    Algorithms 2/3/4/5/7 of PDF 32000 §7.6.3 (V 1/2/4, RC4 + AES-128)
     plus Algorithms 2.A/2.B of PDF 32000-2 §7.6.4 (V 5 / R 5-6,
     AES-256 — the PDF 2.0 default; reference parity: pdfminer's
-    R5/R6 handler behind reference/libpdf/extract.py:96).
-    ``ValueError`` on any unsupported shape (non-Standard filter,
-    unknown /CFM, or /U//O that verify against neither empty
-    password) — the caller records a parse failure."""
+    handlers behind reference/libpdf/extract.py:96, which also accept
+    a document password). The supplied password is tried as the USER
+    password first, then as the OWNER password (legacy: Algorithm 7
+    recovers the padded user password from /O; V5: the /O//OE pair
+    unwraps the same file key). ``ValueError`` on any unsupported
+    shape or when the password verifies against neither /U nor /O —
+    the caller records a parse failure."""
 
-    def __init__(self, enc: dict | None, id0: bytes):
+    def __init__(self, enc: dict | None, id0: bytes, password: bytes = b""):
         import hashlib
 
         if not isinstance(enc, dict) or str(enc.get("Filter")) != "Standard":
@@ -687,7 +695,7 @@ class _StdSecurity:
         if not (isinstance(o, bytes) and isinstance(u, bytes)):
             raise ValueError("encrypted PDF: malformed /O or /U")
         if self.v == 5:
-            self._init_v5(enc, o, u)
+            self._init_v5(enc, o, u, password)
             return
         p = int(enc.get("P") or 0)
         length = int(enc.get("Length") or 40)
@@ -709,48 +717,85 @@ class _StdSecurity:
                 if v not in ("StdCF", "Identity"):
                     raise ValueError(f"encrypted PDF: unsupported /{f} {v}")
         n = 5 if self.r == 2 else max(5, min(16, length // 8))
-        # Algorithm 2 with the empty user password
-        h = hashlib.md5(
-            _PAD + o[:32] + p.to_bytes(4, "little", signed=True) + id0
-        )
-        if self.r >= 4 and enc.get("EncryptMetadata") is False:
-            h.update(b"\xff\xff\xff\xff")
-        key = h.digest()
-        if self.r >= 3:
-            for _ in range(50):
-                key = hashlib.md5(key[:n]).digest()
-        self.key = key[:n]
-        # verify /U against the empty user password (Algorithms 4/5/6)
-        if self.r == 2:
-            ok = _rc4(self.key, _PAD) == u[:32]
-        else:
-            x = _rc4(self.key, hashlib.md5(_PAD + id0).digest())
-            for i in range(1, 20):
-                x = _rc4(bytes(b ^ i for b in self.key), x)
-            ok = x == u[:16]
-        if not ok:
-            raise ValueError("encrypted PDF: non-empty user password")
+        emeta = self.r >= 4 and enc.get("EncryptMetadata") is False
 
-    def _init_v5(self, enc: dict, o: bytes, u: bytes) -> None:
+        def file_key(padded_user_pwd: bytes) -> bytes:
+            # Algorithm 2 from an already-padded user password
+            h = hashlib.md5(
+                padded_user_pwd + o[:32]
+                + p.to_bytes(4, "little", signed=True) + id0
+            )
+            if emeta:
+                h.update(b"\xff\xff\xff\xff")
+            key = h.digest()
+            if self.r >= 3:
+                for _ in range(50):
+                    key = hashlib.md5(key[:n]).digest()
+            return key[:n]
+
+        def u_ok(key: bytes) -> bool:
+            # Algorithms 4/5/6: verify a candidate key against /U
+            if self.r == 2:
+                return _rc4(key, _PAD) == u[:32]
+            x = _rc4(key, hashlib.md5(_PAD + id0).digest())
+            for i in range(1, 20):
+                x = _rc4(bytes(b ^ i for b in key), x)
+            return x == u[:16]
+
+        key = file_key(_pad_pwd(password))
+        if not u_ok(key):
+            # Algorithm 7: try the password as the OWNER password —
+            # its RC4 key (Algorithm 3 steps a-d) decrypts /O back to
+            # the PADDED user password
+            d = hashlib.md5(_pad_pwd(password)).digest()
+            if self.r >= 3:
+                for _ in range(50):
+                    d = hashlib.md5(d[:n]).digest()
+            okey = d[:n]
+            if self.r == 2:
+                recovered = _rc4(okey, o[:32])
+            else:
+                x = o[:32]
+                for i in range(19, -1, -1):
+                    x = _rc4(bytes(b ^ i for b in okey), x)
+                recovered = x
+            key = file_key(recovered)
+            if not u_ok(key):
+                raise ValueError(
+                    "encrypted PDF: wrong password" if password
+                    else "encrypted PDF: non-empty user password"
+                )
+        self.key = key
+
+    def _init_v5(
+        self, enc: dict, o: bytes, u: bytes, password: bytes = b""
+    ) -> None:
         """AES-256 key retrieval (PDF 32000-2 §7.6.4.4.10-11, Algorithms
-        8-9 inverted): verify the EMPTY password against /U, else /O,
-        then unwrap the file key from /UE or /OE."""
+        8-9 inverted): verify the password (UTF-8, truncated to 127
+        bytes per Algorithm 2.A; SASLprep deliberately skipped — ASCII
+        passwords, the overwhelming real-world case, are unaffected)
+        against /U, else /O, then unwrap the file key from /UE or
+        /OE."""
         if len(u) < 48 or len(o) < 48:
             raise ValueError("encrypted PDF: malformed V5 /O or /U")
+        pw = password[:127]
         ue, oe = enc.get("UE"), enc.get("OE")
         zero_iv = b"\x00" * 16
-        if _hash_2b(b"", u[32:40], b"", self.r) == u[:32]:
+        if _hash_2b(pw, u[32:40], b"", self.r) == u[:32]:
             if not (isinstance(ue, bytes) and len(ue) >= 32):
                 raise ValueError("encrypted PDF: malformed /UE")
-            ik = _hash_2b(b"", u[40:48], b"", self.r)
+            ik = _hash_2b(pw, u[40:48], b"", self.r)
             self.key = _aes_cbc_decrypt_nopad(ik, ue[:32], zero_iv)
-        elif _hash_2b(b"", o[32:40], u[:48], self.r) == o[:32]:
+        elif _hash_2b(pw, o[32:40], u[:48], self.r) == o[:32]:
             if not (isinstance(oe, bytes) and len(oe) >= 32):
                 raise ValueError("encrypted PDF: malformed /OE")
-            ik = _hash_2b(b"", o[40:48], u[:48], self.r)
+            ik = _hash_2b(pw, o[40:48], u[:48], self.r)
             self.key = _aes_cbc_decrypt_nopad(ik, oe[:32], zero_iv)
         else:
-            raise ValueError("encrypted PDF: non-empty user password")
+            raise ValueError(
+                "encrypted PDF: wrong password" if password
+                else "encrypted PDF: non-empty user password"
+            )
         self.cfm = "AESV3"
         # /Perms (Algorithm 13) is deliberately NOT validated: pdfminer
         # (the reference's handler behind extract.py:96) never checks
@@ -790,14 +835,22 @@ class _StdSecurity:
         return _rc4(k, data)
 
 
-def _make_encrypt_dict(mode: str, id0: bytes) -> tuple[bytes, "_StdSecurity"]:
-    """Writer side: build the /Encrypt dictionary for an empty user +
-    empty owner password (Algorithms 2/3/5) and the matching handler.
+def _make_encrypt_dict(
+    mode: str, id0: bytes, password: bytes = b"",
+    owner_password: bytes | None = None,
+) -> tuple[bytes, "_StdSecurity"]:
+    """Writer side: build the /Encrypt dictionary (Algorithms 2/3/5 /
+    8-10) and the matching handler. ``password`` is the USER password;
+    ``owner_password`` defaults to it (the "document open password"
+    shape) but may differ — the print-protected shape whose owner
+    password alone also opens the file (Algorithm 7 / the V5 /O//OE
+    pair).
     ``mode``: ``"rc4"`` (V2/R3/128-bit), ``"aes"`` (V4/R4/AESV2) or
     ``"aes256"`` (V5/R6/AESV3, PDF 2.0). Deterministic: salts and the
     V5 file key derive from ``id0`` so write_pdf stays reproducible."""
     import hashlib
 
+    opw_raw = password if owner_password is None else owner_password
     if mode == "aes256":
         r = 6
         # FIXED salts (not id0-derived): every fixture file then shares
@@ -813,12 +866,14 @@ def _make_encrypt_dict(mode: str, id0: bytes) -> tuple[bytes, "_StdSecurity"]:
         ks_o = hashlib.sha256(b"ks_o libpdf fixture").digest()[:8]
         file_key = hashlib.sha256(b"filekey" + id0).digest()  # 32 bytes
         zero_iv = b"\x00" * 16
-        # Algorithm 8: /U and /UE from the (empty) user password
-        u = _hash_2b(b"", vs_u, b"", r) + vs_u + ks_u
-        ue = _aes_cbc_encrypt_nopad(_hash_2b(b"", ks_u, b"", r), file_key, zero_iv)
-        # Algorithm 9: /O and /OE from the (empty) owner password
-        o = _hash_2b(b"", vs_o, u, r) + vs_o + ks_o
-        oe = _aes_cbc_encrypt_nopad(_hash_2b(b"", ks_o, u, r), file_key, zero_iv)
+        pw = password[:127]
+        opw = opw_raw[:127]
+        # Algorithm 8: /U and /UE from the user password
+        u = _hash_2b(pw, vs_u, b"", r) + vs_u + ks_u
+        ue = _aes_cbc_encrypt_nopad(_hash_2b(pw, ks_u, b"", r), file_key, zero_iv)
+        # Algorithm 9: /O and /OE from the owner password
+        o = _hash_2b(opw, vs_o, u, r) + vs_o + ks_o
+        oe = _aes_cbc_encrypt_nopad(_hash_2b(opw, ks_o, u, r), file_key, zero_iv)
         # Algorithm 10: /Perms (P = -1, EncryptMetadata true)
         p = -1
         pblock = (
@@ -838,22 +893,24 @@ def _make_encrypt_dict(mode: str, id0: bytes) -> tuple[bytes, "_StdSecurity"]:
                "O": o, "U": u, "OE": oe, "UE": ue, "Perms": perms, "P": p,
                "CF": {"StdCF": {"CFM": Name("AESV3"), "Length": 32}},
                "StmF": Name("StdCF"), "StrF": Name("StdCF")}
-        return body.encode("ascii"), _StdSecurity(enc, id0)
+        return body.encode("ascii"), _StdSecurity(enc, id0, password)
     if mode not in ("rc4", "aes"):
         raise ValueError(f"unsupported encrypt mode {mode!r}")
     p = -1
     n = 16  # 128-bit
-    # Algorithm 3: /O from the (empty) owner password
-    d = hashlib.md5(_PAD).digest()
+    padded = _pad_pwd(password)
+    # Algorithm 3: /O — owner-password RC4 key over the PADDED user
+    # password
+    d = hashlib.md5(_pad_pwd(opw_raw)).digest()
     for _ in range(50):
         d = hashlib.md5(d[:n]).digest()
     okey = d[:n]
-    o = _rc4(okey, _PAD)
+    o = _rc4(okey, padded)
     for i in range(1, 20):
         o = _rc4(bytes(b ^ i for b in okey), o)
-    # Algorithm 2: file key from the (empty) user password
+    # Algorithm 2: file key from the user password
     key = hashlib.md5(
-        _PAD + o + p.to_bytes(4, "little", signed=True) + id0
+        padded + o + p.to_bytes(4, "little", signed=True) + id0
     ).digest()
     for _ in range(50):
         key = hashlib.md5(key[:n]).digest()
@@ -878,7 +935,7 @@ def _make_encrypt_dict(mode: str, id0: bytes) -> tuple[bytes, "_StdSecurity"]:
                "O": o, "U": u, "P": p,
                "CF": {"StdCF": {"CFM": Name("AESV2"), "Length": 16}},
                "StmF": Name("StdCF"), "StrF": Name("StdCF")}
-    return body.encode("ascii"), _StdSecurity(enc, id0)
+    return body.encode("ascii"), _StdSecurity(enc, id0, password)
 
 
 def _transform_strings(body: bytes, fn) -> bytes:
@@ -947,9 +1004,11 @@ def _decrypt_value(v, num: int, sec: "_StdSecurity"):
     return v
 
 
-def _decrypt_all_objects(objects: dict, trailer: dict) -> bool:
+def _decrypt_all_objects(
+    objects: dict, trailer: dict, password: bytes = b""
+) -> bool:
     """Decrypt every loaded top-level object in place per the trailer's
-    /Encrypt dictionary (empty user password). Returns True on
+    /Encrypt dictionary (empty or supplied password). Returns True on
     success; raises ``ValueError`` for unsupported handlers. The
     /Encrypt object itself and xref streams are never encrypted
     (PDF 32000 §7.5.8.2) and are skipped."""
@@ -967,7 +1026,7 @@ def _decrypt_all_objects(objects: dict, trailer: dict) -> bool:
         if isinstance(ids, list) and ids and isinstance(ids[0], bytes)
         else b""
     )
-    sec = _StdSecurity(enc if isinstance(enc, dict) else None, id0)
+    sec = _StdSecurity(enc if isinstance(enc, dict) else None, id0, password)
     for num, v in list(objects.items()):
         if num in skip:
             continue
@@ -1287,7 +1346,9 @@ def _xref_stream_entries(
             )
 
 
-def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict, bool]:
+def _load_via_xref(
+    data: bytes, password: bytes = b""
+) -> tuple[dict[int, object], dict, bool]:
     """Authoritative object load driven by the cross-reference data at
     ``startxref`` — classic ``xref`` tables AND PDF 1.5 xref STREAMS
     (``/Type /XRef``: /W field-width decoding, /Index subsections,
@@ -1374,7 +1435,7 @@ def _load_via_xref(data: bytes) -> tuple[dict[int, object], dict, bool]:
                 objects[num] = val
         elif typ == 2:
             in_streams.setdefault(f2, []).append(num)
-    decrypted = _decrypt_all_objects(objects, trailer)
+    decrypted = _decrypt_all_objects(objects, trailer, password)
     for snum in in_streams:
         stm = objects.get(snum)
         if isinstance(stm, Stream) and str(stm.dict.get("Type")) == "ObjStm":
@@ -1619,6 +1680,7 @@ def write_pdf(
     xref_stream: bool = False,
     custom_encoding: bool = False,
     encrypt: str | None = None,
+    encrypt_password: str | bytes = b"",
     cid_font: bool | str = False,
 ) -> bytes:
     """Layout-payload dict (markup schema) → PDF bytes.
@@ -1639,7 +1701,8 @@ def write_pdf(
     such a file exercises the parser's real xref-stream + ObjStm path.
 
     ``encrypt="rc4"|"aes"|"aes256"`` writes the file encrypted under
-    the standard security handler with EMPTY user and owner passwords
+    the standard security handler — with ``encrypt_password`` as the
+    user+owner document-open password, or (default) EMPTY passwords
     (RC4 V2/R3/128-bit, AES-128 V4/R4/AESV2, or AES-256 V5/R6/AESV3 —
     the PDF 2.0 default): every string and stream is enciphered with
     the per-object key (V5: the single file key), /Encrypt + /ID land
@@ -2292,7 +2355,11 @@ def write_pdf(
             + str(len(objects)).encode()
             + repr(sorted(meta.items())).encode("utf-8", "replace")
         ).digest()
-        enc_body, sec = _make_encrypt_dict(encrypt, id0)
+        pw = (
+            encrypt_password.encode("utf-8")
+            if isinstance(encrypt_password, str) else encrypt_password
+        )
+        enc_body, sec = _make_encrypt_dict(encrypt, id0, pw)
         for i, obj in enumerate(objects):
             if obj is not None:
                 objects[i] = _encrypt_object_body(obj, i + 1, sec)
@@ -3404,7 +3471,7 @@ def _dest_payload(dest, resolve, page_index: dict[int, int]):
 _INFO_TO_META = {v: k for k, v in _META_TO_INFO.items()}
 
 
-def parse_pdf(data: bytes) -> dict:
+def parse_pdf(data: bytes, password: bytes | str = b"") -> dict:
     """PDF bytes → layout-payload dict (chars/lines/rects/figures/
     outline/annos/dests/meta/pages — the markup schema).
 
@@ -3416,14 +3483,23 @@ def parse_pdf(data: bytes) -> dict:
     parse even with a corrupt xref. FlateDecode (with PNG predictors)
     is inflated; any OTHER filter on a needed stream raises
     ``ValueError`` so the document is a recorded parse failure
-    (ADVICE r1)."""
+    (ADVICE r1).
+
+    ``password`` is tried as the USER then the OWNER password of an
+    encrypted document (pdfminer accepts the same single password
+    argument behind the reference); a wrong password raises
+    ``ValueError`` → recorded failure. A ``str`` password is encoded
+    UTF-8 (the V5 Algorithm-2.A form; legacy handlers see the same
+    bytes — identical for the ASCII passwords real tooling uses)."""
+    if isinstance(password, str):
+        password = password.encode("utf-8")
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF byte-stream")
     objects: dict[int, object] | None = None
     catalog = info = None
     encrypted = decrypted = False
     try:
-        objects, trailer, decrypted = _load_via_xref(data)
+        objects, trailer, decrypted = _load_via_xref(data, password)
         resolve = _Resolver(objects)
         catalog = resolve(trailer.get("Root"))
         info = resolve(trailer.get("Info"))
@@ -3457,7 +3533,7 @@ def parse_pdf(data: bytes) -> dict:
                     # expansion saw ciphertext (tolerated); decrypt the
                     # top-level objects, then re-expand. Unsupported
                     # handlers raise out of here → recorded failure.
-                    decrypted = _decrypt_all_objects(objects, tdict)
+                    decrypted = _decrypt_all_objects(objects, tdict, password)
                     for v in list(objects.values()):
                         if (
                             isinstance(v, Stream)
@@ -3508,7 +3584,7 @@ def parse_pdf(data: bytes) -> dict:
             # scan path found an encrypted PDF whose trailer is an xref
             # STREAM dict — same decrypt-then-re-expand dance
             encrypted = True
-            decrypted = _decrypt_all_objects(objects, xenc)
+            decrypted = _decrypt_all_objects(objects, xenc, password)
             for v in list(objects.values()):
                 if isinstance(v, Stream) and str(v.dict.get("Type")) == "ObjStm":
                     try:

@@ -161,9 +161,15 @@ def make_extract_batch(cfg: ExtractConfig):
                 doc = None
                 err = None
                 try:
-                    doc = find_payload(text if isinstance(text, str) else None)
+                    doc = find_payload(
+                        text if isinstance(text, str) else None,
+                        cfg.pdf_password,
+                    )
                     if doc is None:
-                        doc = find_payload(tool if isinstance(tool, str) else None)
+                        doc = find_payload(
+                            tool if isinstance(tool, str) else None,
+                            cfg.pdf_password,
+                        )
                 except Exception as exc:  # noqa: BLE001 — per-turn isolation:
                     # one malformed document must record one turn's
                     # failure, never abort the whole Arrow batch/task

@@ -241,7 +241,7 @@ def test_payload_stage_catches_every_exception_class(monkeypatch):
     from libpdf_spark.pipeline import make_extract_batch
 
     for exc_cls in (IndexError, RuntimeError, ZeroDivisionError, OverflowError):
-        def boom(text, _cls=exc_cls):
+        def boom(text, pdf_password="", _cls=exc_cls):
             if text:
                 raise _cls("synthetic parse failure")
             return None
@@ -354,3 +354,46 @@ def test_unsupported_pdf_feature_is_recorded_failure_e2e(spark):
     assert "unsupported" in out.loc[0, "error"].lower()
     assert bool(out.loc[1, "parse_ok"])
     assert out.loc[1, "extracted_text"] == good.expected_text()
+
+
+def test_password_protected_pdf_turn_e2e(spark):
+    """ExtractConfig.pdf_password flows to the payload stage: a
+    password-protected PDF turn extracts when the config carries the
+    document password, and records ONE turn's parse failure (never a
+    job abort) under the default config."""
+    import pandas as pd
+
+    from libpdf_spark.config import ExtractConfig
+    from libpdf_spark.fixtures import FAMILIES, doc_from_text
+    from libpdf_spark.payload import embed_pdf
+    from libpdf_spark.pdfmini import write_pdf
+    from libpdf_spark.pipeline import extract_turns
+
+    builder = doc_from_text("locked document body text")
+    locked = embed_pdf(
+        write_pdf(builder.build(), compress=True, encrypt="aes256",
+                  encrypt_password="open sesame"),
+        prefix="turn 0 attaches a locked pdf: ",
+    )
+    plain = FAMILIES["plain_paragraphs"]()
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c", "c"],
+            "turn_idx": [0, 1],
+            "role": ["user", "assistant"],
+            "text": [locked, "no doc here"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+        }
+    )
+    df = spark.createDataFrame(rows)
+    with_pw = (
+        extract_turns(df, ExtractConfig(pdf_password="open sesame"))
+        .orderBy("turn_idx")
+        .toPandas()
+    )
+    assert bool(with_pw.iloc[0].parse_ok)
+    assert "locked document body text" in with_pw.iloc[0].extracted_text
+    without = extract_turns(df, ExtractConfig()).orderBy("turn_idx").toPandas()
+    assert not bool(without.iloc[0].parse_ok)
+    assert "password" in (without.iloc[0].error or "")
