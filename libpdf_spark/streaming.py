@@ -218,3 +218,138 @@ def run_state_stream_once(
     if q.isActive:
         q.stop()
         raise TimeoutError("stateful stream did not drain in time")
+
+
+# --- streaming gap sessionization (round 6) ---------------------------------
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+SESSION_STATE_DDL = (
+    "start_us long, last_us long, n_events long, last_wall_us long"
+)
+SESSION_OUTPUT_DDL = (
+    "user_id long, start_us long, end_us long, n_events long"
+)
+SESSION_GAP_S = 1800  # mirrors operators.events.SESSION_GAP_S
+
+
+def sessionize_stream(spark, input_path: str, gap_s: int = SESSION_GAP_S):
+    """Streaming twin of ``operators.events.q_sessionize``: gap-based
+    sessions via ``applyInPandasWithState`` with an EVENT-TIME state
+    timeout. Two close paths, both exact:
+
+    * intra-batch — a gap inside one micro-batch closes the previous
+      session immediately (emitted this batch);
+    * cross-batch — an open session's state carries
+      ``(start, last, n)``; its timeout timestamp is ``last + gap``,
+      so when the WATERMARK (1 h allowance) passes that point with no
+      new events, ``state.hasTimedOut`` fires and the session closes.
+
+    State is per ``user_id`` — the same single hash exchange as the
+    batch plan, but held incrementally in the state store (RocksDB on
+    a real cluster), checkpoint-recoverable. A closed session's rows
+    match the batch operator row-for-row (pinned by the parity test).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+
+    def update_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            s, last, n, _w = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "start_us": [s],
+                 "end_us": [last], "n_events": [n]}
+            )
+            return
+        s, last, n, wall = (
+            state.get if state.exists else (None, None, 0, None)
+        )
+        # (naive micros for session arithmetic/output parity with the
+        # batch operator, wall-clock micros for the watermark-based
+        # timeout — identical under a UTC session, differing only by
+        # the fixed tz offset otherwise, which cancels in gap tests)
+        pairs: list[tuple[int, int]] = []
+        for pdf in pdf_iter:
+            pairs.extend(
+                zip(pdf["ts_us"].astype("int64"),
+                    pdf["wall_us"].astype("int64"))
+            )
+        pairs.sort()
+        closed: list[tuple[int, int, int]] = []
+        for t, w in pairs:
+            t, w = int(t), int(w)
+            if s is None:
+                s, last, n, wall = t, t, 1, w
+            elif t - last > gap_us:
+                closed.append((s, last, n))
+                s, last, n, wall = t, t, 1, w
+            else:
+                last, n = max(last, t), n + 1
+                wall = max(wall, w)
+        state.update((s, last, n, wall))
+        # event-time timeout takes epoch MILLIS on the WATERMARK clock;
+        # fires when the watermark passes last + gap
+        state.setTimeoutTimestamp((wall + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    ev = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_path)
+        .withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ),
+        )
+        # watermarks require TIMESTAMP (not NTZ): cast for the
+        # event-time clock, keep the naive micros for session math
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("wall_us", F.unix_micros("ts"))
+        .withWatermark("ts", "1 hour")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=SESSION_OUTPUT_DDL,
+        stateStructType=SESSION_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_sessionize_stream_once(
+    spark,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    gap_s: int = SESSION_GAP_S,
+    timeout_sec: int = 300,
+) -> None:
+    q = (
+        sessionize_stream(spark, input_path, gap_s)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("sessionize stream did not drain in time")

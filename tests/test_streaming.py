@@ -149,3 +149,76 @@ def test_stateful_conversation_totals_survive_restart(spark):
     # doc-bearing turn counting matches the corpus (doc_every markers)
     n_docs_expected = first.text.str.contains("LIBPDF", regex=False).sum()
     assert int(out1.n_docs.sum()) == n_docs_expected
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming gap sessionization: intra-batch gaps close sessions
+    immediately; open sessions close via the EVENT-TIME state timeout
+    once the watermark passes last_event + gap. Closed sessions match
+    the batch operator (`q_sessionize`) row-for-row."""
+    import pandas as pd
+
+    from libpdf_spark.operators.events import q_sessionize
+    from libpdf_spark.streaming import run_sessionize_stream_once
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def ev(eid, user, minutes):
+        return (eid, t0 + pd.Timedelta(minutes=minutes), user, "view",
+                1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # user 1: two clusters separated by 2 h (> 30 min gap) — the first
+    # closes INTRA-batch; user 2: one open cluster
+    batch1 = pd.DataFrame(
+        [ev(0, 1, 0), ev(1, 1, 3), ev(2, 1, 7),
+         ev(3, 1, 120), ev(4, 1, 125),
+         ev(5, 2, 10), ev(6, 2, 20)],
+        columns=cols,
+    )
+    # batch 2: one far-future event (user 3) drives the watermark past
+    # every open session's last + gap → timeouts close users 1 and 2
+    batch2 = pd.DataFrame([ev(7, 3, 60 * 24)], columns=cols)
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    sdf1 = spark.createDataFrame(batch1)
+    sdf1.write.mode("append").parquet(str(in_dir))
+    run_sessionize_stream_once(spark, str(in_dir), str(out_dir), str(ckpt))
+    got1 = (
+        spark.read.parquet(str(out_dir)).toPandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    # two closes in run 1: user 1's first cluster INTRA-batch, and
+    # user 2 via TIMEOUT (the availableNow run's final batch sees the
+    # watermark at max_ts − 1 h = t0+65 min, past user 2's
+    # last + gap = t0+50 min). User 1's second cluster (last t0+125)
+    # stays open.
+    assert len(got1) == 2
+    assert got1.iloc[0].user_id == 1 and got1.iloc[0].n_events == 3
+    assert got1.iloc[1].user_id == 2 and got1.iloc[1].n_events == 2
+
+    spark.createDataFrame(batch2).write.mode("append").parquet(str(in_dir))
+    run_sessionize_stream_once(spark, str(in_dir), str(out_dir), str(ckpt))
+    got = (
+        spark.read.parquet(str(out_dir)).toPandas()
+        .sort_values(["user_id", "start_us"]).reset_index(drop=True)
+    )
+    # batch parity on the CLOSED sessions (user 3 is still open)
+    sf_dir = tmp_path / "static"
+    sf_dir.mkdir()
+    pd.concat([batch1, batch2]).pipe(spark.createDataFrame) \
+        .write.mode("overwrite").parquet(str(sf_dir / "events.parquet"))
+    exp = (
+        q_sessionize(spark, str(sf_dir)).toPandas()
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+    exp_closed = exp[exp.user_id.isin([1, 2])]
+    assert len(got) == len(exp_closed) == 3
+    merged = got.merge(
+        exp_closed, left_on=["user_id", "start_us"],
+        right_on=["user_id", "start_us"], suffixes=("_s", "_b"),
+    )
+    assert len(merged) == 3
+    assert (merged.end_us_s == merged.end_us_b).all()
+    assert (merged.n_events_s == merged.n_events_b).all()
