@@ -3100,9 +3100,21 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
     return fonts
 
 
+class _FormReplayError(Exception):
+    """A Form XObject's content could not be replayed (unreadable
+    stream, unsupported filter). Deliberately NOT a ValueError: the
+    per-operator tolerance catch must not swallow it — silent text
+    loss is worse than a recorded failure. ``parse_pdf`` converts it
+    to ``ValueError`` at the top so the pipeline records one turn's
+    failure and the exception contract holds."""
+
+
 def _interpret_content(
-    content: bytes, fonts: dict, xobjects: set, pageno: int,
+    content: bytes, fonts: dict, xobjects, pageno: int,
     chars: dict, lines: list, rects: list, figures: list,
+    resolve=None, font_cache: dict | None = None,
+    base_ctm: tuple | None = None, depth: int = 0,
+    _active: set | None = None,
 ) -> None:
     """Replay one page's content stream into payload rows.
 
@@ -3114,8 +3126,16 @@ def _interpret_content(
     a text matrix advanced per glyph, both composed with the CTM. The
     run-of-the-mill subset only — enough for every construct
     :func:`write_pdf` emits plus Tm/Tc/Tw/'/" from foreign producers.
+
+    ``xobjects`` maps names to RESOLVED XObject streams (a legacy set
+    of names still works for the image case). ``Do`` on a
+    ``/Subtype /Form`` stream replays the form's own content with the
+    form /Matrix composed onto the current CTM and the form's own
+    /Resources (falling back to the page's) — the nested-content
+    shape pdfminer handles via its render_contents recursion; depth
+    and an in-progress set bound recursive/self-referential forms.
     """
-    ctm = _ID_MAT
+    ctm = base_ctm if base_ctm is not None else _ID_MAT
     gstack: list[tuple] = []
     fill = (0.0, 0.0, 0.0)
     tm = lm = _ID_MAT
@@ -3423,7 +3443,55 @@ def _interpret_content(
                 path_rects = []
             elif (op == "Do" and operands) or op == "__inline_image__":
                 name = str(operands[-1]) if op == "Do" else None
-                if op == "__inline_image__" or name in xobjects:
+                target = (
+                    xobjects.get(name)
+                    if op == "Do" and isinstance(xobjects, dict) else None
+                )
+                if (
+                    isinstance(target, Stream)
+                    and str(target.dict.get("Subtype")) == "Form"
+                    and resolve is not None
+                ):
+                    active = _active if _active is not None else set()
+                    if depth < 8 and id(target) not in active:
+                        active.add(id(target))
+                        try:
+                            try:
+                                fbody = _stream_bytes(target)
+                            except ValueError as exc:
+                                raise _FormReplayError(
+                                    f"form XObject {name}: {exc}"
+                                ) from exc
+                            mtx = resolve(target.dict.get("Matrix"))
+                            fm = (
+                                tuple(float(resolve(x)) for x in mtx)
+                                if isinstance(mtx, list) and len(mtx) == 6
+                                else _ID_MAT
+                            )
+                            fres = resolve(target.dict.get("Resources"))
+                            ffonts, fxo = fonts, xobjects
+                            if isinstance(fres, dict):
+                                ffonts = _font_info(
+                                    fres, resolve, font_cache
+                                )
+                                fxod = resolve(fres.get("XObject"))
+                                if isinstance(fxod, dict):
+                                    fxo = {
+                                        str(k): resolve(v)
+                                        for k, v in fxod.items()
+                                    }
+                            _interpret_content(
+                                fbody, ffonts, fxo, pageno,
+                                chars, lines, rects, figures,
+                                resolve=resolve, font_cache=font_cache,
+                                base_ctm=_mat_mul(fm, ctm),
+                                depth=depth + 1, _active=active,
+                            )
+                        finally:
+                            active.discard(id(target))
+                elif op == "__inline_image__" or (
+                    name is not None and name in xobjects
+                ):
                     # images (XObject or inline) paint the CTM's unit
                     # square — that IS the figure bbox
                     xa, ya = _apply(ctm, 0.0, 0.0)
@@ -3660,7 +3728,10 @@ def parse_pdf(data: bytes, password: bytes | str = b"") -> dict:
             res = {}
         fonts = _font_info(res, resolve, font_cache)
         xo = resolve(res.get("XObject"))
-        xobjects = set(xo.keys()) if isinstance(xo, dict) else set()
+        xobjects = (
+            {str(k): resolve(v) for k, v in xo.items()}
+            if isinstance(xo, dict) else {}
+        )
         contents = pd.get("Contents")
         if contents is None:
             continue
@@ -3671,7 +3742,16 @@ def parse_pdf(data: bytes, password: bytes | str = b"") -> dict:
             for stm in (resolve(c) for c in clist)
             if isinstance(stm, Stream)
         )
-        _interpret_content(body, fonts, xobjects, idx, chars, lines, rects, figures)
+        try:
+            _interpret_content(
+                body, fonts, xobjects, idx, chars, lines, rects,
+                figures, resolve=resolve, font_cache=font_cache,
+            )
+        except _FormReplayError as exc:
+            # unreadable form content = recorded failure, never the
+            # silent loss of the form's text (exception contract:
+            # parse_pdf raises ValueError)
+            raise ValueError(str(exc)) from exc
 
     # --- outline tree → flat (title, level, dest) list ---
     outline: list[dict] = []

@@ -931,6 +931,18 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
         # r6: the password-protected shape — mutations around /O //U
         # must surface as wrong-password ValueErrors, never escapes
         (write_pdf(doc, encrypt="rc4", encrypt_password="pw"), 500),
+        # r6: nested Form XObjects (recursive replay path)
+        (_form_pdf(
+            b"q 1 0 0 1 100 100 cm /A Do Q",
+            {
+                "A": (b"/Matrix [1 0 0 1 0 10] /Resources << /Font "
+                      b"<< /F1 5 0 R >> /XObject << /A 6 0 R /B 7 0 R "
+                      b">> >>",
+                      b"BT /F1 10 Tf 0 0 Td (a) Tj ET\n/A Do\n/B Do"),
+                "B": (b"/Matrix [1 0 0 1 200 0]",
+                      b"BT /F1 10 Tf 5 5 Td (b) Tj ET"),
+            },
+        ), 1000),
     ]
     # Budget: 1,000 trials × 9 writer shapes per run (~25 s; the
     # aes256 shape runs 250 — a mutation landing in its /Encrypt dict
@@ -1678,3 +1690,110 @@ def test_password_owner_path_distinct():
         assert _StdSecurity(enc, b"\x01" * 16, b"owner-pw").key == sec.key
         with pytest.raises(ValueError, match="password"):
             _StdSecurity(enc, b"\x01" * 16, b"neither")
+
+
+def _form_pdf(page_content: bytes, forms: dict[str, tuple[bytes, bytes]],
+              extra_objs: list[bytes] | None = None) -> bytes:
+    """Hand-built PDF with Form XObjects: ``forms`` maps name →
+    (form dict EXTRAS e.g. /Matrix or /Resources entries, content)."""
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"",  # page, filled below
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(page_content), page_content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    xo_entries = []
+    for name, (extras, content) in forms.items():
+        num = len(objs) + 1
+        objs.append(
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            + extras + b" /Length %d >>\nstream\n%s\nendstream"
+            % (len(content), content)
+        )
+        xo_entries.append(f"/{name} {num} 0 R".encode())
+    for o in extra_objs or []:
+        objs.append(o)
+    objs[2] = (
+        b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> "
+        b"/XObject << " + b" ".join(xo_entries) + b" >> >> /Contents 4 0 R >>"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\n%%%%EOF\n" % (len(objs) + 1)
+    return bytes(out)
+
+
+def test_form_xobject_text_replay():
+    """Form XObjects (r6): `Do` on a /Subtype /Form stream replays its
+    content with /Matrix ∘ CTM composition — the nested-content shape
+    pdfminer recurses into; previously the form's TEXT was silently
+    lost. A translation Matrix plus an invocation-site `cm` must both
+    land on the glyph coordinates."""
+    page = (
+        b"BT /F1 10 Tf 50 700 Td (top) Tj ET\n"
+        b"q 1 0 0 1 100 0 cm /Fx Do Q"
+    )
+    form = b"BT /F1 10 Tf 10 20 Td (inA) Tj ET"
+    data = _form_pdf(page, {"Fx": (b"/Matrix [1 0 0 1 0 500]", form)})
+    chs = parse_pdf(data)["chars"]
+    assert "".join(chs["text"]) == "topinA"
+    # form glyph origin: Td(10,20) + Matrix(0,500) + cm(100,0)
+    i = chs["text"].index("i")
+    assert chs["x0"][i] == pytest.approx(110.0, abs=1e-6)
+    assert chs["y0"][i] == pytest.approx(520.0, abs=1e-6)
+
+
+def test_form_xobject_nested_and_cycle():
+    """Nested forms compose CTMs across levels; a self-referential
+    form terminates (in-progress guard) instead of recursing."""
+    page = b"q 1 0 0 1 100 100 cm /A Do Q"
+    form_a = b"BT /F1 10 Tf 0 0 Td (a) Tj ET\nq 1 0 0 1 50 0 cm /A Do Q\n/B Do"
+    form_b = b"BT /F1 10 Tf 5 5 Td (b) Tj ET"
+    data = _form_pdf(
+        page,
+        {
+            "A": (b"/Matrix [1 0 0 1 0 10] /Resources << /Font "
+                  b"<< /F1 5 0 R >> /XObject << /A 6 0 R /B 7 0 R >> >>",
+                  form_a),
+            "B": (b"/Matrix [1 0 0 1 200 0]", form_b),
+        },
+    )
+    chs = parse_pdf(data)["chars"]
+    # 'a' once (self-recursion suppressed), 'b' once via nested Do
+    assert sorted(chs["text"]) == ["a", "b"]
+    ia, ib = chs["text"].index("a"), chs["text"].index("b")
+    assert chs["x0"][ia] == pytest.approx(100.0, abs=1e-6)   # cm(100)+M(0)
+    assert chs["y0"][ia] == pytest.approx(110.0, abs=1e-6)   # cm(100)+M(10)
+    # b: Td(5,5) + B.Matrix(200,0) + A.Matrix(0,10) + cm(100,100)
+    assert chs["x0"][ib] == pytest.approx(305.0, abs=1e-6)
+    assert chs["y0"][ib] == pytest.approx(115.0, abs=1e-6)
+
+
+def test_form_xobject_own_resources_font():
+    """A form's own /Resources font (with /Differences) wins over the
+    page font — resource scoping, not just content splicing."""
+    page = b"/F Do"
+    form = b"BT /F1 12 Tf 10 10 Td (A) Tj ET"
+    enc = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+           b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+           b"/Differences [65 /eacute] >> >>")
+    data = _form_pdf(
+        page,
+        {"F": (b"/Resources << /Font << /F1 7 0 R >> >>", form)},
+        extra_objs=[enc],
+    )
+    chs = parse_pdf(data)["chars"]
+    assert chs["text"] == ["é"]  # code 65 through the FORM's font
+
+
+def test_form_xobject_unreadable_is_recorded_failure():
+    """An unsupported filter on a form's content stream raises
+    ValueError (recorded failure) — never silent loss of the form's
+    text (the page-level ADVICE-r1 rule, applied to nested content)."""
+    page = b"/F Do"
+    data = _form_pdf(page, {"F": (b"/Filter /JPXDecode", b"\x00\x01")})
+    with pytest.raises(ValueError, match="form XObject"):
+        parse_pdf(data)
