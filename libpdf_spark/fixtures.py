@@ -731,12 +731,13 @@ def _pdf_variant(pdf_seq: int) -> int:
     aliasing with the gate and the ``doc_every`` stride (embedded turns
     step ``ti`` by 6, collapsing any linear form to 2 residues mod 6),
     so the rotation is now a plain per-corpus counter: every corpus
-    with ≥ 9 embedded PDFs provably carries all nine variants
+    with ≥ 10 embedded PDFs provably carries all ten variants
     (r5 added the UniJIS-UCS2-H and 90ms-RKSJ-H predefined-CMap
     serializations alongside Identity-H and the three encryptions;
-    r6 added the embedded-CMap-stream /Encoding shape).
+    r6 added the embedded-CMap-stream /Encoding shape and the
+    form-wrapped page-content shape).
     """
-    return pdf_seq % 9
+    return pdf_seq % 10
 
 
 def doc_from_text(text: str, per_line: int = 8, lines_per_para: int = 4) -> DocBuilder:
@@ -829,6 +830,7 @@ def gen_transcripts(
                         {"compress": True, "cid_font": "ucs2"},
                         {"compress": True, "cid_font": "rksj"},
                         {"compress": True, "cid_font": "embedded"},
+                        {"compress": True, "form_wrap": True},
                     )[variant]
                     body = embed_pdf(
                         write_pdf(doc, **pdf_kw),

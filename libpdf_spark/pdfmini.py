@@ -1682,6 +1682,7 @@ def write_pdf(
     encrypt: str | None = None,
     encrypt_password: str | bytes = b"",
     cid_font: bool | str = False,
+    form_wrap: bool = False,
 ) -> bytes:
     """Layout-payload dict (markup schema) → PDF bytes.
 
@@ -2205,6 +2206,38 @@ def write_pdf(
             )
 
         content = ("\n".join(ops)).encode("latin-1", "replace")
+        form_res = ""
+        if form_wrap:
+            # the page's ENTIRE content moves into one /Subtype /Form
+            # XObject carrying its own /Resources; the page contents
+            # shrink to a single `/Fp Do` under a translation `cm` the
+            # form /Matrix must compose with. Round-tripping this file
+            # proves the form-replay path end-to-end (text, figures,
+            # fonts all live inside the form).
+            fonts_s = " ".join(f"/{r} {n} 0 R" for r, n in font_res.values())
+            form_res = f"/Resources << /Font << {fonts_s} >>"
+            if xobj_entries:
+                xo_s = " ".join(f"/{r} {n} 0 R" for r, n in xobj_entries)
+                form_res += f" /XObject << {xo_s} >>"
+            form_res += " >>"
+            # matrix (0, -7) + cm (0, 7) cancel — coordinates survive
+            fdict = (
+                f"<< /Type /XObject /Subtype /Form "
+                f"/BBox [0 0 {_num(w)} {_num(h)}] "
+                f"/Matrix [1 0 0 1 0 -7] {form_res} "
+            ).encode()
+            if compress:
+                zf = zlib.compress(content)
+                form_num = add(
+                    fdict + b"/Length %d /Filter /FlateDecode >>\n"
+                    b"stream\n%s\nendstream" % (len(zf), zf)
+                )
+            else:
+                form_num = add(
+                    fdict + b"/Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content)
+                )
+            content = b"q 1 0 0 1 0 7 cm /Fp Do Q"
         if compress:
             z = zlib.compress(content)
             content_num = add(
@@ -2216,12 +2249,15 @@ def write_pdf(
                 b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
             )
 
-        fonts = " ".join(f"/{r} {n} 0 R" for r, n in font_res.values())
-        resources = f"/Resources << /Font << {fonts} >>"
-        if xobj_entries:
-            xo = " ".join(f"/{r} {n} 0 R" for r, n in xobj_entries)
-            resources += f" /XObject << {xo} >>"
-        resources += " >>"
+        if form_wrap:
+            resources = f"/Resources << /XObject << /Fp {form_num} 0 R >> >>"
+        else:
+            fonts = " ".join(f"/{r} {n} 0 R" for r, n in font_res.values())
+            resources = f"/Resources << /Font << {fonts} >>"
+            if xobj_entries:
+                xo = " ".join(f"/{r} {n} 0 R" for r, n in xobj_entries)
+                resources += f" /XObject << {xo} >>"
+            resources += " >>"
         page_num = add()  # placeholder: /Annots needs anno objs (below)
         body = (
             f"<< /Type /Page /Parent {pages_num} 0 R "

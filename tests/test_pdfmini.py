@@ -1797,3 +1797,21 @@ def test_form_xobject_unreadable_is_recorded_failure():
     data = _form_pdf(page, {"F": (b"/Filter /JPXDecode", b"\x00\x01")})
     with pytest.raises(ValueError, match="form XObject"):
         parse_pdf(data)
+
+
+def test_form_wrap_writer_roundtrip():
+    """`write_pdf(form_wrap=True)` moves the whole page content into a
+    /Subtype /Form XObject (own /Resources, a /Matrix the page-level
+    `cm` must cancel) — parsing it back is byte-exact across plain /
+    compressed / encrypted / CID serializations, proving the replay
+    path end-to-end rather than on hand-built minimal files only."""
+    doc = FAMILIES["full_features"]().build()
+    base = parse_pdf(write_pdf(doc))
+    for kw in (dict(), dict(compress=True),
+               dict(compress=True, encrypt="aes"),
+               dict(compress=True, cid_font=True)):
+        data = write_pdf(doc, form_wrap=True, **kw)
+        assert b"/Subtype /Form" in data
+        got = parse_pdf(data)
+        for k in ("chars", "figures", "outline", "annos", "meta"):
+            assert got[k] == base[k], (kw, k)

@@ -272,8 +272,8 @@ def test_pdf_variant_rotation_reaches_all_six():
     AND compressed files."""
     from libpdf_spark.fixtures import _pdf_variant
 
-    seen = {_pdf_variant(k) for k in range(9)}
-    assert seen == set(range(9)), seen
+    seen = {_pdf_variant(k) for k in range(10)}
+    assert seen == set(range(10)), seen
 
 
 def test_corpus_contains_all_pdf_serialization_variants(corpus):
@@ -308,12 +308,14 @@ def test_corpus_contains_all_pdf_serialization_variants(corpus):
     # the CMap stream body is Flate-compressed in the corpus variant,
     # but its stream DICT (/Type /CMap) is plaintext
     has_embedded = [b"/Type /CMap" in p for p in pdfs]
+    has_form = [b"/Subtype /Form" in p for p in pdfs]
     assert any(has_aes), "no AES-encrypted PDF in corpus"
     assert any(has_rc4), "no RC4-encrypted PDF in corpus"
     assert any(has_aes256), "no AES-256 (V5/R6) PDF in corpus"
     assert any(has_ucs2), "no UniJIS-UCS2-H predefined-CMap PDF in corpus"
     assert any(has_rksj), "no 90ms-RKSJ-H variable-CMap PDF in corpus"
     assert any(has_embedded), "no embedded-CMap-stream PDF in corpus"
+    assert any(has_form), "no form-wrapped PDF in corpus"
     assert any(has_flate_plain), "no compressed-unencrypted PDF in corpus"
     assert any(has_cid), "no Identity-H CID PDF in corpus"
     assert any(has_bare), "no plain PDF in corpus"
