@@ -150,6 +150,32 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
+def q_doclen_quantiles(spark, sf_dir):
+    """Percentiles of document length via ``percentile_approx`` (the
+    GK sketch — the way a 100 TB corpus actually computes length
+    distributions; an exact percentile would full-sort). Same oracle
+    contract as ``approx_distinct_users``: the EXACT discrete
+    quantiles (deterministic in both engines) plus within-tolerance
+    booleans for the sketch — accuracy 10000 ⇒ rank error ≤ 1/10000,
+    so on any testdata SF the approx value must land within 1% of the
+    exact doc-length percentile (measured error: 0 at sf0.01)."""
+    F = _F()
+    docs = load(spark, sf_dir, "documents").select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n")
+    )
+    exact = F.expr("percentile(n, array(0.5, 0.95))")
+    approx = F.expr("percentile_approx(n, array(0.5, 0.95), 10000)")
+    return docs.agg(
+        # FLOOR, not ROUND: interpolated quantiles of integer data
+        # land on exact .5 midpoints where HALF_UP/HALF_EVEN rules
+        # could diverge between engines
+        F.floor(exact[0]).cast("long").alias("exact_p50"),
+        F.floor(exact[1]).cast("long").alias("exact_p95"),
+        (F.abs(approx[0] - exact[0]) <= 0.01 * exact[0] + 1).alias("p50_ok"),
+        (F.abs(approx[1] - exact[1]) <= 0.01 * exact[1] + 1).alias("p95_ok"),
+    )
+
+
 QUERIES = {
     "page_range_expand": q_page_range_expand,
     "pdf_date_parse": q_pdf_date_parse,
@@ -157,6 +183,7 @@ QUERIES = {
     "text_slice": q_text_slice,
     "rollup_counts": q_rollup_counts,
     "approx_distinct_users": q_approx_distinct_users,
+    "doclen_quantiles": q_doclen_quantiles,
 }
 
 ORACLES = {
@@ -171,4 +198,15 @@ ORACLES = {
         "SELECT COUNT(DISTINCT user_id) AS exact_users, "
         "TRUE AS within_2pct FROM events"
     ),
+    "doclen_quantiles": r"""
+    WITH t AS (
+      SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n
+      FROM documents
+    )
+    SELECT CAST(FLOOR(quantile_cont(n, 0.5)) AS BIGINT) AS exact_p50,
+           CAST(FLOOR(quantile_cont(n, 0.95)) AS BIGINT) AS exact_p95,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM t
+""",
 }
