@@ -465,7 +465,7 @@ def main():
     # reuses the smaller corpus (caught by the r6 A/B session — the
     # "current" side benched 1,231 turns against r4's 5,731)
     sf_tag = os.path.basename(os.path.normpath(SF_DIR))
-    in_path = os.path.join(WORK, f"transcripts_v9_{sf_tag}")
+    in_path = os.path.join(WORK, f"transcripts_v10_{sf_tag}")
 
     if "--scaling-level" in sys.argv:
         # child process: one parallelism level, one JVM, pinned cores
@@ -505,7 +505,7 @@ def main():
         text_repeat = int(os.environ.get("SPARK_GRAFT_SCALE_TEXT_REPEAT", "4"))
         sf_tag = os.path.basename(os.path.normpath(SF_DIR))
         in_path = os.path.join(
-            WORK, f"transcripts_v9_x{replicate}_t{text_repeat}_{sf_tag}"
+            WORK, f"transcripts_v10_x{replicate}_t{text_repeat}_{sf_tag}"
         )
         spark = make_session(CPUS)
         n_turns = materialize_transcripts(
@@ -636,7 +636,7 @@ def main():
     # while the interleaved headline stayed tight) so any host-CPU
     # drift window hits both corpora alike and min-of-4 stays
     # comparable between them.
-    big_path = os.path.join(WORK, f"transcripts_v9_x6_t4_{sf_tag}")
+    big_path = os.path.join(WORK, f"transcripts_v10_x6_t4_{sf_tag}")
     n_big = materialize_transcripts(spark, big_path, replicate=6, text_repeat=4)
     run_extraction(spark, in_path)   # warm-up (JIT, page cache)
     run_extraction(spark, big_path)  # warm-up
