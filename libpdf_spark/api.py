@@ -131,7 +131,7 @@ def config_from_kwargs(
     )
 
 
-def _payload_from_source(pdf) -> dict:
+def _payload_from_source(pdf, password: str = "") -> dict:
     """PDF bytes | path (.pdf / payload .json) | payload dict |
     transcript-turn string → layout payload dict."""
     from libpdf_spark import pdfmini
@@ -142,14 +142,14 @@ def _payload_from_source(pdf) -> dict:
         out.update(pdf)
         return out
     if isinstance(pdf, (bytes, bytearray)):
-        return pdfmini.parse_pdf(bytes(pdf))
+        return pdfmini.parse_pdf(bytes(pdf), password=password)
     if isinstance(pdf, str):
         if os.path.exists(pdf):
             with open(pdf, "rb") as fh:
                 head = fh.read(5)
             if head.startswith(b"%PDF-"):
                 with open(pdf, "rb") as fh:
-                    return pdfmini.parse_pdf(fh.read())
+                    return pdfmini.parse_pdf(fh.read(), password=password)
             with open(pdf, encoding="utf-8") as fh:
                 text = fh.read()
             doc = find_payload(text)
@@ -186,9 +186,12 @@ def load(
     visual_debug_include_elements: list[str] | None = None,
     visual_debug_exclude_elements: list[str] | None = None,
     keep_words: bool = False,
+    pdf_password: str = "",
 ) -> ApiObjects:
     """Library entry point — reference ``libpdf.load`` parity
-    (``core.py:171-262``), same kwarg surface, local execution."""
+    (``core.py:171-262``), same kwarg surface, local execution, plus
+    ``pdf_password`` for encrypted documents (tried as user then
+    owner; the reference inherits pdfminer's password plumbing)."""
     if init_logging:
         logging.basicConfig(level=_VERBOSITY.get(verbose, logging.WARNING))
         LOG.setLevel(_VERBOSITY.get(verbose, logging.WARNING))
@@ -204,7 +207,7 @@ def load(
         no_rects=no_rects,
         keep_words=keep_words,
     )
-    doc = _payload_from_source(pdf)
+    doc = _payload_from_source(pdf, pdf_password)
     result = extract_document(doc, cfg)
     objects = ApiObjects(result, doc)
     if save_figures:

@@ -224,3 +224,23 @@ def test_cli_keep_words(pdf_path, tmp_path):
     assert wordy
     w = wordy[0]["words"][0]
     assert {"line", "text", "x0", "fontname"} <= set(w)
+
+
+def test_load_pdf_password():
+    """`load(pdf, pdf_password=...)` opens password-protected bytes;
+    without the password the ValueError surfaces to the caller (the
+    single-document API has no per-turn recording to hide behind)."""
+    import pytest
+
+    from libpdf_spark.api import load
+    from libpdf_spark.fixtures import doc_from_text
+    from libpdf_spark.pdfmini import write_pdf
+
+    data = write_pdf(
+        doc_from_text("locked api doc").build(),
+        encrypt="aes", encrypt_password="k3y",
+    )
+    objs = load(data, pdf_password="k3y", init_logging=False)
+    assert "locked api doc" in objs.root.extracted_text
+    with pytest.raises(ValueError):
+        load(data, init_logging=False)
