@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
         "--keep-words", action="store_true",
         help="retain the word/line tree (per-level ncolor/fontname lift)",
     )
+    ap.add_argument(
+        "--password", default="",
+        help="document password for encrypted PDFs (user or owner)",
+    )
     args = ap.parse_args(argv)
 
     from libpdf_spark.api import load
@@ -102,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         visual_debug_include_elements=args.visual_debug_include_elements,
         visual_debug_exclude_elements=args.visual_debug_exclude_elements,
         keep_words=args.keep_words,
+        pdf_password=args.password,
     )
     root = objects.root
     payload = {
