@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--chunk-size", type=int, default=16)
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--smart-page-crop", action="store_true")
+    ap.add_argument("--pdf-password", default="",
+                    help="document password for encrypted PDFs")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,7 +42,9 @@ def main() -> None:
 
     spark = configure_session(SparkSession.builder.appName("libpdf-extract")).getOrCreate()
     cfg = ExtractConfig(
-        salt_buckets=args.salt_buckets, smart_page_crop=args.smart_page_crop
+        salt_buckets=args.salt_buckets,
+        smart_page_crop=args.smart_page_crop,
+        pdf_password=args.pdf_password,
     )
     transcripts = read_transcripts(spark, args.input)
     summary = run_resumable(
