@@ -3008,6 +3008,24 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
             "w": None,
             "encmap": None,
         }
+        if str(fobj.get("Subtype")) == "Type3" and info["widths"]:
+            # Type3 fonts (the dvips/LaTeX bitmap-glyph shape pdfminer
+            # also meters, not draws): /Widths are in GLYPH space —
+            # the advance in text space is w · FontMatrix[0]. Store
+            # them pre-multiplied by 1000 so the common /1000·size
+            # path in show_text applies unchanged. Glyph procedures
+            # (/CharProcs) are deliberately not rasterized; text comes
+            # from /Encoding //Differences / /ToUnicode like any
+            # simple font, geometry from the metered advances.
+            fm = resolve(fobj.get("FontMatrix"))
+            try:
+                scale = (
+                    float(resolve(fm[0]))
+                    if isinstance(fm, list) and len(fm) == 6 else 0.001
+                )
+            except (TypeError, ValueError):
+                scale = 0.001
+            info["widths"] = [w * scale * 1000.0 for w in info["widths"]]
         if str(fobj.get("Subtype")) != "Type0" and "Encoding" in fobj:
             # simple-font /Encoding: bare base-encoding name, or the
             # dictionary form with /BaseEncoding + /Differences (the

@@ -1816,3 +1816,33 @@ def test_form_wrap_writer_roundtrip():
         got = parse_pdf(data)
         for k in ("chars", "figures", "outline", "annos", "meta"):
             assert got[k] == base[k], (kw, k)
+
+
+def test_type3_font_glyph_space_widths():
+    """Type3 fonts (r6): /Widths are in GLYPH space and scale by
+    /FontMatrix[0] — a matrix of 0.01 with width 50 advances
+    0.5 em, NOT 0.05 em. Text resolves through /Encoding
+    //Differences like any simple font; /CharProcs are metered, not
+    drawn (pdfminer behaves the same for extraction purposes)."""
+    content = b"BT /F1 12 Tf 100 700 Td (AB) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type3 "
+        b"/FontMatrix [0.01 0 0 0.01 0 0] /FirstChar 65 /LastChar 66 "
+        b"/Widths [50 75] /CharProcs << >> "
+        b"/Encoding << /Differences [65 /eacute /ntilde] >> >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    d = parse_pdf(bytes(out))
+    chs = d["chars"]
+    assert chs["text"] == ["é", "ñ"]
+    # advances: 50·0.01·12 = 6 pt, 75·0.01·12 = 9 pt
+    assert chs["x0"] == pytest.approx([100.0, 106.0], abs=1e-6)
+    assert chs["x1"] == pytest.approx([106.0, 115.0], abs=1e-6)
