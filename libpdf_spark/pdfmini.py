@@ -3138,6 +3138,10 @@ def _font_info(res: dict, resolve, cache: dict | None = None) -> dict[str, dict]
                     raise ValueError(
                         f"unsupported Type0 /Encoding {enc_str!r}"
                     )
+                if enc_str.endswith("-V"):
+                    # vertical writing mode (§9.7.4.2): glyph origins
+                    # advance DOWNWARD; see show_text's vertical branch
+                    info["vertical"] = True
             desc_list = resolve(fobj.get("DescendantFonts")) or []
             desc = resolve(desc_list[0]) if desc_list else {}
             if not isinstance(desc, dict):
@@ -3352,6 +3356,41 @@ def _interpret_content(
                     return d_
             return code_texts[k] if code_texts is not None else chr(code)
 
+        if two and font.get("vertical"):
+            # vertical writing mode (§9.7.4.2, the -V CMaps): the
+            # glyph ORIGIN advances downward by the vertical
+            # displacement — /DW2 defaults to [880 -1000], i.e. one em
+            # per glyph (per-CID /W2 entries are rare and fall to the
+            # default); Tc/Tw add along the writing direction. Each
+            # glyph's box spans its HORIZONTAL /W extent × one em of
+            # height, mapped through the full text·CTM matrix so
+            # rotated vertical text stays exact. pdfminer applies the
+            # same default-displacement model when metering -V text.
+            ypos = 0.0
+            for k, code in enumerate(codes):
+                disp = code_disp(k, code)
+                v_adv = size + tc
+                if code == 32 and single and single[k]:
+                    v_adv += tw
+                if disp != " ":
+                    wh = code_width(code) / 1000.0 * size
+                    pts = [
+                        _apply(trm, 0.0, -(ypos + size)),
+                        _apply(trm, wh, -ypos),
+                    ]
+                    xs = [p[0] for p in pts]
+                    ys = [p[1] for p in pts]
+                    chars["page"].append(pageno)
+                    chars["text"].append(disp)
+                    chars["x0"].append(min(xs))
+                    chars["y0"].append(min(ys))
+                    chars["x1"].append(max(xs))
+                    chars["y1"].append(max(ys))
+                    chars["fontname"].append(fname)
+                    chars["ncolor"].append(fill_list)
+                ypos += v_adv
+            tm = _mat_mul(_translate(0.0, -ypos), tm)
+            return
         if b_ == 0.0 and c_ == 0.0:
             # fast path: no rotation/skew — advance in text space and
             # map both corners with one multiply-add per char

@@ -1846,3 +1846,46 @@ def test_type3_font_glyph_space_widths():
     # advances: 50·0.01·12 = 6 pt, 75·0.01·12 = 9 pt
     assert chs["x0"] == pytest.approx([100.0, 106.0], abs=1e-6)
     assert chs["x1"] == pytest.approx([106.0, 115.0], abs=1e-6)
+
+
+def test_vertical_writing_mode_identity_v():
+    """-V CMaps (r6): glyph origins advance DOWNWARD one em per glyph
+    (/DW2 default), boxes span the horizontal /W extent; previously
+    -V text was laid out horizontally. Identity-V with /ToUnicode."""
+    tounicode = _tounicode_cmap(
+        [(0x0101, "日", 2), (0x0102, "本", 2), (0x0103, "語", 2)]
+    )
+    cmap_name = "Identity-V"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 4 0 R >> >> /Contents 6 0 R >>",
+        (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /V "
+            f"/Encoding /{cmap_name} /DescendantFonts [5 0 R] "
+            "/ToUnicode 7 0 R >>"
+        ).encode(),
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /V "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 /W [257 [1000] 258 [1000] 259 [500]] >>",
+        b"",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(tounicode), tounicode),
+    ]
+    content = b"BT /F1 10 Tf 100 700 Td <010101020103> Tj ET"
+    objs[5] = (
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, 1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    chs = parse_pdf(bytes(out))["chars"]
+    assert chs["text"] == ["日", "本", "語"]
+    # origins descend one em (10 pt) per glyph from the Td point
+    assert chs["y1"] == pytest.approx([700.0, 690.0, 680.0], abs=1e-6)
+    assert chs["y0"] == pytest.approx([690.0, 680.0, 670.0], abs=1e-6)
+    # x extent follows /W: two full-width glyphs then a half-width one
+    assert chs["x1"] == pytest.approx([110.0, 110.0, 105.0], abs=1e-6)
+    assert chs["x0"] == pytest.approx([100.0, 100.0, 100.0], abs=1e-6)
