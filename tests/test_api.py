@@ -244,3 +244,32 @@ def test_load_pdf_password():
     assert "locked api doc" in objs.root.extracted_text
     with pytest.raises(ValueError):
         load(data, init_logging=False)
+
+
+def test_load_corpus_pdf_password(spark):
+    """`load_corpus(..., pdf_password=...)` reaches ExtractConfig via
+    the kwargs passthrough: a protected PDF turn extracts with the
+    password and records a failure without it."""
+    import pandas as pd
+
+    from libpdf_spark import load_corpus
+    from libpdf_spark.fixtures import doc_from_text
+    from libpdf_spark.payload import embed_pdf
+    from libpdf_spark.pdfmini import write_pdf
+
+    locked = embed_pdf(
+        write_pdf(doc_from_text("corpus locked body").build(),
+                  encrypt="rc4", encrypt_password="pw"),
+        prefix="attachment: ",
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["c"], "turn_idx": pd.array([0], dtype="int32"),
+             "text": [locked], "tool": [None]}
+        )
+    )
+    ok = load_corpus(spark, df, pdf_password="pw").extracted.toPandas()
+    assert bool(ok.iloc[0].parse_ok)
+    assert "corpus locked body" in ok.iloc[0].extracted_text
+    bad = load_corpus(spark, df).extracted.toPandas()
+    assert not bool(bad.iloc[0].parse_ok)
