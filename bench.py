@@ -472,8 +472,14 @@ def main():
         cpus = int(sys.argv[sys.argv.index("--scaling-level") + 1])
         in_path = sys.argv[sys.argv.index("--scaling-level") + 2]
         os.sched_setaffinity(0, set(sorted(os.sched_getaffinity(0))[:cpus]))
+        # drift sentinel brackets the capacity probes AND every trial
+        # round: session #13's 0.632 took a post-mortem to attribute
+        # to a throttled 8-core probe window — with these probes in
+        # the artifact the diagnosis is one look at the spread
+        record_probe("pre_capacity")
         capacity = cpu_capacity(cpus)
         bus = bus_capacity(cpus)
+        record_probe("post_capacity")
         spark = make_session(cpus)
         run_extraction(spark, in_path)  # warm-up (JIT, page cache)
         # three plan shapes, 2 trials each, mode-interleaved so host
@@ -481,13 +487,16 @@ def main():
         modes = {"salted": "", "salted_input": "_salt_input", "unsalted": "_unsalted"}
         best: dict[str, float] = {}
         n = 0
-        for _ in range(2):
+        for t in range(2):
+            record_probe(f"trial_round{t}")
             for mode in modes:
                 e, n = run_extraction(spark, in_path, mode)
                 best[mode] = min(best.get(mode, e), e)
+        record_probe("end")
         result = {"cpus": cpus, "turns": n,
                   "cpu_capacity_units_per_sec": round(capacity, 1),
-                  "bus_capacity_gb_per_sec": round(bus, 2)}
+                  "bus_capacity_gb_per_sec": round(bus, 2),
+                  "drift_sentinel": probe_summary()}
         for mode, suffix in modes.items():
             result[f"sec{suffix}"] = round(best[mode], 3)
             result[f"turns_per_sec{suffix}"] = round(n / best[mode], 1)
@@ -518,6 +527,7 @@ def main():
             "sec_salt_input", "turns_per_sec_salt_input",
             "sec_unsalted", "turns_per_sec_unsalted",
             "cpu_capacity_units_per_sec", "bus_capacity_gb_per_sec",
+            "drift_sentinel",
         )
 
         def run_level(cpus: int) -> dict:
@@ -568,6 +578,17 @@ def main():
                             cur[k] = r[k]
                 for k in ("cpu_capacity_units_per_sec", "bus_capacity_gb_per_sec"):
                     cur[k] = max(cur[k], r[k])
+                # sentinel: concatenate both process runs' probes
+                probes = (
+                    cur["drift_sentinel"]["probes"]
+                    + r["drift_sentinel"]["probes"]
+                )
+                rates = [p["docs_per_sec"] for p in probes]
+                cur["drift_sentinel"] = {
+                    "what": cur["drift_sentinel"]["what"],
+                    "probes": probes,
+                    "spread": round(max(rates) / min(rates), 3),
+                }
         base, big = results[8], results[CPUS]
         hw_ratio = (
             big["cpu_capacity_units_per_sec"] / base["cpu_capacity_units_per_sec"]
