@@ -45,6 +45,7 @@ HEADLINE = [
     "simhash",
     "token_count",
     "pack_bins",
+    "sessionize",
 ]
 
 

@@ -830,7 +830,12 @@ def gen_transcripts(
                         {"compress": True, "cid_font": "ucs2"},
                         {"compress": True, "cid_font": "rksj"},
                         {"compress": True, "cid_font": "embedded"},
-                        {"compress": True, "form_wrap": True},
+                        # maximal composition: nested-form pages
+                        # whose form content is AES-encrypted and
+                        # CID-encoded — three parser layers in one
+                        # serialization
+                        {"compress": True, "encrypt": "aes",
+                         "cid_font": True, "form_wrap": True},
                     )[variant]
                     body = embed_pdf(
                         write_pdf(doc, **pdf_kw),
