@@ -988,8 +988,9 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
     # Round-6 added the embedded-CMap, UTF-16-surrogate, GBK-EUC
     # variable-width, /Differences, password-protected and
     # nested-Form shapes; offline sweeps ran 10,000 trials per new
-    # shape (90k total this round, incl. vertical-mode and Type3 shapes)
-    # with zero escapes.
+    # shape (122k total this round, incl. vertical/Type3 and a 32k closing
+    # sweep with the maximal form+AES+CID composition) with zero
+    # escapes.
     rng = _random.Random(20260816)
     pw_shape = corpora[-1][0]
     for data, trials in corpora:
