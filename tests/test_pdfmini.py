@@ -963,6 +963,11 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
         # r6: the password-protected shape — mutations around /O //U
         # must surface as wrong-password ValueErrors, never escapes
         (write_pdf(doc, encrypt="rc4", encrypt_password="pw"), 500),
+        # r6: the maximal composition — form-wrapped pages whose form
+        # content is AES-encrypted and CID-encoded (three parser
+        # layers; also the corpus's 10th serialization variant)
+        (write_pdf(doc, compress=True, encrypt="aes",
+                   cid_font=True, form_wrap=True), 1000),
         # r6: nested Form XObjects (recursive replay path)
         (_form_pdf(
             b"q 1 0 0 1 100 100 cm /A Do Q",
