@@ -2955,6 +2955,11 @@ def _parse_embedded_cmap(
     cspace: list[tuple[int, bytes, bytes]] = []
     for m in _CODESPACE_RE.finditer(data):
         toks = _HEX_RE.findall(m.group(1))
+        if len(toks) % 2:
+            # an unpaired trailing token is as malformed as a bad pair
+            # — raise like every other malformed-entry path instead of
+            # silently zip-truncating to a partial codespace (ADVICE r6)
+            raise ValueError("embedded CMap: odd codespace token count")
         for lo_h, hi_h in zip(toks[0::2], toks[1::2]):
             if len(lo_h) != len(hi_h) or len(lo_h) % 2 or not lo_h:
                 raise ValueError("embedded CMap: malformed codespace range")

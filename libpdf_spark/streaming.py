@@ -250,7 +250,22 @@ def sessionize_stream(spark, input_path: str, gap_s: int = SESSION_GAP_S):
     State is per ``user_id`` — the same single hash exchange as the
     batch plan, but held incrementally in the state store (RocksDB on
     a real cluster), checkpoint-recoverable. A closed session's rows
-    match the batch operator row-for-row (pinned by the parity test).
+    match the batch operator row-for-row (pinned by the parity test
+    and by the SIGKILL-mid-drain drill, scripts/drill_stream_kill.py).
+
+    LATE-DATA SEMANTICS (ADVICE r6): batch parity holds for events
+    arriving within the 1 h watermark allowance of time order. An
+    event older than the watermark whose session state is GONE
+    (already closed — immediately below, or by timeout) starts a
+    fresh 1-event session rather than reopening the closed one, so a
+    backfill later than the allowance can diverge from the batch
+    result; count closed sessions against the batch operator when
+    ingesting historical data. When a batch's events are late enough
+    that the watermark already passed ``last + gap`` (kill-restart
+    replay restores a watermark ahead of the replayed events; any
+    out-of-order micro-batch), the session closes IMMEDIATELY in that
+    batch — setting the (past) timeout would abort the query with
+    INVALID_TIMEOUT_TIMESTAMP.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -292,10 +307,25 @@ def sessionize_stream(spark, input_path: str, gap_s: int = SESSION_GAP_S):
             else:
                 last, n = max(last, t), n + 1
                 wall = max(wall, w)
-        state.update((s, last, n, wall))
-        # event-time timeout takes epoch MILLIS on the WATERMARK clock;
-        # fires when the watermark passes last + gap
-        state.setTimeoutTimestamp((wall + gap_us) // 1000)
+        deadline_ms = (wall + gap_us) // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        if deadline_ms <= wm_ms:
+            # The watermark has ALREADY passed last + gap — no future
+            # event can extend this session (anything later than the
+            # watermark starts a new one), so close it NOW instead of
+            # setting a timeout. Setting a timeout in the past raises
+            # INVALID_TIMEOUT_TIMESTAMP and aborts the query — hit in
+            # practice on kill-restart replay (the checkpoint restores
+            # a watermark ahead of the replayed batch's events; found
+            # by scripts/drill_stream_kill.py) and on any out-of-order
+            # micro-batch whose events trail the watermark by > gap.
+            closed.append((s, last, n))
+            state.remove()
+        else:
+            state.update((s, last, n, wall))
+            # event-time timeout takes epoch MILLIS on the WATERMARK
+            # clock; fires when the watermark passes last + gap
+            state.setTimeoutTimestamp(deadline_ms)
         if closed:
             yield pd.DataFrame(
                 {

@@ -48,33 +48,74 @@ print("DRAINED")
 
 
 def prepare_input(spark, in_dir: str) -> int:
-    """sf events as 64 files (=> 5 availableNow micro-batches at
-    maxFilesPerTrigger=16) plus one far-future watermark-driver event
-    that closes every real session via the event-time timeout."""
-    from pyspark.sql import functions as F
+    """sf events as 64 TIME-ORDERED files (=> 5 availableNow
+    micro-batches at maxFilesPerTrigger=16; FileStreamSource orders by
+    mtime then path, so each file gets an increasing mtime) plus one
+    far-future watermark-driver event that closes every real session
+    via the event-time timeout. Time-ordered arrival is the realistic
+    stream shape — a hash-scattered file order would interleave whole
+    months across batches, which no finite-state sessionizer (Spark's
+    or otherwise) can reconcile with batch output."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-    ev.repartition(64).write.mode("overwrite").parquet(in_dir)
-    driver = ev.agg(
-        F.max("event_id").alias("e"), F.max("ts").alias("t")
-    ).select(
-        (F.col("e") + 1).alias("event_id"),
-        (F.col("t") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("view").alias("event_type"),
-        F.lit(1.0).alias("value"),
-        F.lit("{}").alias("props"),
+    pdf = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
     )
-    driver.coalesce(1).write.mode("append").parquet(in_dir)
-    return ev.count() + 1
+    os.makedirs(in_dir, exist_ok=True)
+    n = len(pdf)
+    chunks = 64
+    base = time.time() - 1000
+    # microsecond, tz-naive timestamps => parquet TIMESTAMP_NTZ(us),
+    # matching the streaming schema (pandas' default ns precision
+    # reads back as a bare INT64 mismatch)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+
+    def write(frame: pd.DataFrame, idx: int) -> None:
+        p = os.path.join(in_dir, f"part-{idx:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(frame, schema=schema, preserve_index=False),
+            p,
+        )
+        os.utime(p, (base + idx, base + idx))
+
+    for i in range(chunks):
+        lo, hi = i * n // chunks, (i + 1) * n // chunks
+        write(pdf.iloc[lo:hi], i)
+    driver = pd.DataFrame(
+        {
+            "event_id": [int(pdf.event_id.max()) + 1],
+            "ts": [pdf.ts.max() + pd.Timedelta(days=30)],
+            "user_id": [-1],
+            "event_type": ["view"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    write(driver, chunks)
+    return n + 1
 
 
-def run_child(inp: str, out: str, ckpt: str) -> subprocess.Popen:
+def run_child(inp: str, out: str, ckpt: str, tag: str = "x") -> subprocess.Popen:
     code = CHILD.format(repo=REPO, inp=inp, out=out, ckpt=ckpt)
+    err = open(os.path.join(WORK, f"child_{tag}.err"), "wb")
     return subprocess.Popen(
         [sys.executable, "-c", code],
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
+        stderr=err,
         start_new_session=True,  # own process group: SIGKILL gets JVM too
     )
 
@@ -114,7 +155,7 @@ def main() -> dict:
 
     kills = 0
     for k in range(kill_count):
-        proc = run_child(in_dir, out, ckpt)
+        proc = run_child(in_dir, out, ckpt, tag=f"kill{k}")
         # stagger the grace so successive kills land in different
         # batches of the drain
         killed = kill_after_first_commit(proc, ckpt, grace=1.5 + 2.0 * k)
@@ -125,7 +166,7 @@ def main() -> dict:
         # commits/ — the restart must reconcile that, which is the
         # point of the drill
     # final clean run to completion
-    proc = run_child(in_dir, out, ckpt)
+    proc = run_child(in_dir, out, ckpt, tag="final")
     out_txt, _ = proc.communicate(timeout=600)
     assert proc.returncode == 0 and b"DRAINED" in out_txt, out_txt
 

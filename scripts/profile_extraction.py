@@ -4,7 +4,7 @@
 Runs the REAL per-turn extraction path (``find_payload`` →
 ``parse_pdf``/codec decode → ``extract_document``) single-threaded
 under cProfile over a deterministic fixture corpus that rotates all
-nine PDF serialization variants, then aggregates cumulative time into
+ten PDF serialization variants, then aggregates cumulative time into
 the pipeline's architectural stages so the judge (and we) can see
 where a turn's milliseconds actually go:
 

@@ -263,7 +263,7 @@ def test_payload_stage_catches_every_exception_class(monkeypatch):
         assert exc_cls.__name__ in bad["error"], bad["error"]
 
 
-def test_pdf_variant_rotation_reaches_all_six():
+def test_pdf_variant_rotation_reaches_all_ten():
     """ADVICE r4: the old rotation (ci*3+ti)%6 shared parity with the
     (ci+ti)%2==0 embed gate, so variants 1/3/5 — FlateDecode-only and
     AES — never appeared in any corpus. Pin the fix at both levels:
