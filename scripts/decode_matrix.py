@@ -118,10 +118,15 @@ def gen_kana(length: int, rng: random.Random) -> tuple[str, bytes] | None:
 def gen_cyrillic(length: int, rng: random.Random) -> tuple[str, bytes] | None:
     lower = [chr(c) for c in range(0x0430, 0x0450)]  # а-я
     s = _title(lower, length, rng)
-    # 60% Title-case words (the realistic mix from the r6 sweep)
+    # 60% Title-case / 20% lower / 20% ALL-CAPS words (r7: the caps
+    # class was missing from the r6 sweep, hiding the run>=6 GBK
+    # branch silently garbling 'МОСКВА'-shaped titles to hanzi)
     words = []
     for w in s.split(" "):
-        words.append(w.capitalize() if rng.random() < 0.6 else w)
+        r = rng.random()
+        words.append(
+            w.capitalize() if r < 0.6 else (w.upper() if r < 0.8 else w)
+        )
     s = " ".join(words)
     codec = rng.choice(("cp1251", "koi8_r"))
     try:

@@ -42,8 +42,8 @@ GOLDEN = {
     ("hangul", 5): (0.97, 0.02),   # 1.000 / 0.000
     ("hangul", 10): (0.97, 0.02),  # 1.000 / 0.000
     ("hanzi_s", 1): (0.00, 0.05),  # 0.000 / 0.000 (mojibake by design)
-    ("hanzi_s", 2): (0.00, 0.25),  # 0.000 / 0.155 (hangul-ambiguous 4B)
-    ("hanzi_s", 3): (0.85, 0.15),  # 0.900 / 0.100
+    ("hanzi_s", 2): (0.10, 0.25),  # 0.180 / 0.155 (r7 GB2312-short gate; was 0.000)
+    ("hanzi_s", 3): (0.85, 0.15),  # 0.890 / 0.100
     ("hanzi_s", 5): (0.95, 0.03),  # 1.000 / 0.000
     ("hanzi_s", 10): (0.97, 0.02), # 1.000 / 0.000
     ("hanzi_t", 1): (0.00, 0.05),  # 0.000 / 0.000

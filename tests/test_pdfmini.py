@@ -2134,3 +2134,39 @@ def test_simple_font_no_widths_fontfile2_metrics():
     assert _parse_truetype_metrics(b"") is None
     assert _parse_truetype_metrics(b"\x00" * 64) is None
     assert _parse_truetype_metrics(ttf[:40]) is None
+
+
+def test_decode_pdf_string_gb2312_short_and_cyrillic_uniform_case():
+    """r7: (a) 2-hanzi GB2312 fragments (below the 6-high-byte run)
+    decode via the Level-1 short-fragment gate when their bytes are
+    not Cyrillic- or hangul-ambiguous; (b) uniform-case (all-lower /
+    ALL-CAPS) main-plane Russian words — the set the Cyrillic branch
+    deliberately leaves UNDECIDED — must never silently become hanzi
+    via the run>=6 GBK claim or the short gates: visible mojibake
+    beats wrong-script text."""
+    # (a) claimable 2-hanzi fragments (leads 0xB0-0xD7, no alias)
+    for s in ("汉字",):
+        raw = s.encode("gbk")
+        try:
+            raw.decode("utf-8")
+        except UnicodeDecodeError:
+            assert decode_pdf_string(raw) == s, s
+    # (b) uniform-case Russian stays visibly non-CJK in BOTH codecs
+    for s in ("МОСКВА", "москва", "введение", "ГЛАВА ПЕРВАЯ"):
+        for codec in ("cp1251", "koi8_r"):
+            raw = s.encode(codec)
+            try:
+                raw.decode("utf-8")
+                continue
+            except UnicodeDecodeError:
+                pass
+            got = decode_pdf_string(raw)
+            assert not any(
+                0x4E00 <= ord(c) <= 0x9FFF or 0xAC00 <= ord(c) <= 0xD7A3
+                for c in got
+            ), (s, codec, got)
+    # documented residual: cp1251 ALL-CAPS words whose every PAIR lead
+    # is А-И (0xC0-0xC8, the hangul rows) are byte-identical to
+    # 2-4-syllable Korean titles; the hangul first claim wins there
+    # by pinned policy (test_decode_pdf_string_korean_property), so
+    # 'ВВЕДЕНИЕ' in cp1251 reads as hangul — ambiguity, not a bug.
