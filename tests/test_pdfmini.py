@@ -962,7 +962,7 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
         ), 1000),
         # r6: the password-protected shape — mutations around /O //U
         # must surface as wrong-password ValueErrors, never escapes
-        (write_pdf(doc, encrypt="rc4", encrypt_password="pw"), 500),
+        (write_pdf(doc, encrypt="rc4", encrypt_password="pw"), 500, "pw"),
         # r6: the maximal composition — form-wrapped pages whose form
         # content is AES-encrypted and CID-encoded (three parser
         # layers; also the corpus's 10th serialization variant)
@@ -997,13 +997,21 @@ def test_parse_pdf_mutation_fuzz_exception_contract():
     # Round-6 added the embedded-CMap, UTF-16-surrogate, GBK-EUC
     # variable-width, /Differences, password-protected and
     # nested-Form shapes; offline sweeps ran 10,000 trials per new
-    # shape (122k total this round, incl. vertical/Type3 and a 32k closing
+    # shape (122k total that round, incl. vertical/Type3 and a 32k closing
     # sweep with the maximal form+AES+CID composition) with zero
-    # escapes.
+    # escapes. Round-7 added the no-/Widths /FontFile2 shape (10k
+    # offline trials), re-swept the password shape with the password
+    # actually supplied (8k — see the r7 fix below) and the maximal
+    # composition (8k): 148k offline trials lifetime, zero escapes,
+    # plus a 200k-string decode_pdf_string totality sweep.
     rng = _random.Random(20260816)
-    pw_shape = corpora[-1][0]
-    for data, trials in corpora:
-        pw = "pw" if data is pw_shape else ""
+    # r7 fix: the password used to be keyed off corpora[-1], which
+    # silently stopped matching when r6 appended the form/TTF shapes
+    # AFTER the password shape — its 500 trials were all failing the
+    # password check instead of fuzzing the post-decrypt paths.
+    for entry in corpora:
+        data, trials = entry[0], entry[1]
+        pw = entry[2] if len(entry) > 2 else ""
         for trial in range(trials):
             buf = bytearray(data)
             for _ in range(rng.choice((1, 1, 1, 4, 16, 64))):
