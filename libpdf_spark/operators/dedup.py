@@ -187,14 +187,46 @@ def _minhash_expr(i: int):
     )
 
 
+def _signatures_df(spark, sf_dir):
+    """doc_id → (m0..m7) MinHash mins.
+
+    Optimization (r8, guide §1.2 "don't compute things you throw
+    away"): corpora repeat shingles heavily across documents (measured
+    sf1.0: 2.62M (doc, shingle) pairs but only 27.9k DISTINCT shingles
+    — 94× duplication), so hashing per PAIR wastes 99% of the md5
+    work. Hash each distinct shingle once (8 seeds × |distinct|), then
+    attach the hashes back to the pairs with an equi-join on the
+    shingle and take per-doc mins. The hash side is broadcast
+    EXPLICITLY (guide §3.1: size estimates after an aggregation are
+    unreliable — unhinted, the planner picked BuildLeft and broadcast
+    the multi-million-row pair stream into a 27.9k-key hashed
+    relation, a measured 4× regression). The join is 1:1 on a key the
+    pairs already carry, so min-per-doc is unchanged; the broadcast
+    also preserves the pairs' doc_id partitioning, so the per-doc min
+    aggregation needs no exchange. At a corpus scale where the
+    distinct-shingle set outgrows a broadcast (~10⁸+ distinct), swap
+    the hint for SHUFFLE_HASH on the same join — shingle keys are
+    high-cardinality, so that shuffle is skew-free."""
+    F = _F()
+    sh = _shingles_df(spark, sf_dir)
+    hashes = (
+        sh.select("shingle")
+        .distinct()
+        .select(
+            "shingle",
+            *[_minhash_expr(i).alias(f"h{i}") for i in range(N_MINHASH)],
+        )
+    )
+    aggs = [F.min(F.col(f"h{i}")).alias(f"m{i}") for i in range(N_MINHASH)]
+    return sh.join(F.broadcast(hashes), "shingle").groupBy("doc_id").agg(*aggs)
+
+
 def q_minhash_signatures(spark, sf_dir):
     """Per-doc MinHash signature: min 60-bit hash per seed (engine-
     portable, see :func:`_minhash_expr`); band keys = md5 over
     rows-per-band concatenated mins (the LSH bucketing key)."""
     F = _F()
-    sh = _shingles_df(spark, sf_dir)
-    aggs = [F.min(_minhash_expr(i)).alias(f"m{i}") for i in range(N_MINHASH)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = _signatures_df(spark, sf_dir)
     rows_per_band = N_MINHASH // N_BANDS
     band_cols = [
         F.md5(
@@ -572,7 +604,18 @@ def _simhash_sql(engine: str) -> str:
 def q_simhash(spark, sf_dir):
     """16-bit SimHash per document (token-unigram features). Generated
     as one SQL expression tree — stays fully inside whole-stage
-    codegen, no UDF."""
+    codegen, no UDF.
+
+    r8 optimization note (guide §1.1 "measure first"): two rewrites
+    were benchmarked against this form at sf1.0 — (a) md5 once per
+    DISTINCT token + broadcast attach join (0.62 s → 1.07 s) and
+    (b) single md5 per occurrence projected below the aggregation
+    with integer bit extraction (0.62 s → 0.74 s). Both LOST: whole-
+    stage codegen subexpression elimination already evaluates the 16
+    duplicated md5(token) calls once per row inside the partial
+    aggregate, and the one-operator expression tree beats any
+    join/extra-project shape. Kept as-is, with this note so the next
+    round does not re-try the same rewrites."""
     load_parallel(spark, sf_dir, "documents", "doc_id").createOrReplaceTempView("documents")
     return spark.sql(_simhash_sql("spark"))
 

@@ -84,18 +84,33 @@ def _sql_interval_join():
 # --- J6/O2/W2: fuzzy top-1 join with tie-break ------------------------------
 def q_top1_per_group(spark, sf_dir):
     """Top-1 winner per group with deterministic tie-break (J6 referee
-    shape, ``textbox.py:386-528``; W2 vertical-distance tie-break)."""
-    F = _F()
-    from pyspark.sql import Window
+    shape, ``textbox.py:386-528``; W2 vertical-distance tie-break).
 
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
+    Optimization (r8, guide §2.4 window→agg): the row_number window
+    sorted the full orders table twice (pre- and post-exchange) even
+    with WindowGroupLimit pruning. ``max(struct(price, -orderkey))``
+    is the same selection — max totalprice, min orderkey on ties
+    (negation flips the tie-break under max; struct comparison is
+    lexicographic) — as one sort-free codegen HashAggregate with
+    map-side partial aggregation. Output values are the original
+    column values, bit-identical."""
+    F = _F()
     return (
         load(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_totalprice").alias("p"),
+                    (-F.col("o_orderkey")).alias("negk"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "o_custkey",
+            (-F.col("m.negk")).alias("o_orderkey"),
+            F.col("m.p").alias("o_totalprice"),
+        )
     )
 
 
@@ -143,16 +158,25 @@ def q_text_assembly(spark, sf_dir):
     explicit in-array sort before joining — Spark's collect_list has
     no intrinsic order, so the sort key travels inside the struct."""
     F = _F()
+    # r8 (guide §2.3 "narrower types"): collect one small BIGINT per
+    # row — (l_linenumber << 8) | ascii(l_returnflag) — instead of a
+    # struct<int,string>. Sorting the longs sorts (linenumber, flag)
+    # identically (linenumber >= 0, flag is one ASCII char), and the
+    # flag char is recovered with char(key & 255). Same ordered-concat
+    # result; the ObjectHashAggregate buffers and the exchange carry
+    # 8-byte longs instead of 2-field structs.
+    key = F.shiftleft(F.col("l_linenumber").cast("long"), 8) + F.ascii(
+        "l_returnflag"
+    )
     return (
         load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", key.alias("k"))
         .groupBy("l_orderkey")
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("l_linenumber", "l_returnflag"))
-                    ),
-                    lambda s: s.l_returnflag,
+                    F.array_sort(F.collect_list("k")),
+                    lambda s: F.char(s.bitwiseAND(F.lit(255))),
                 ),
                 "",
             ).alias("flags")
