@@ -23,9 +23,31 @@ def _F():
     return F
 
 
-def _exact_sum(col):
+def _scale4(col):
+    """Exact 10⁴-scaled BIGINT of a non-negative money double.
+
+    Bit-identical to ``CAST(CAST(x AS DECIMAL(18,4)) * 10000 AS
+    BIGINT)`` for the star schema's money columns (non-negative
+    decimals with ≤4 fractional digits: the double's representation
+    error is ≤ ~3e-7 at this magnitude, far below the 0.5 the
+    truncation absorbs; verified 0 mismatches over every money column
+    at sf0.01/0.1/1.0) — but without the double→decimal cast, which
+    goes through Double.toString/BigDecimal per row and was measured
+    as 2.4× the whole aggregation (guide §1.2 per-task work;
+    r8 OPTIMIZATION notes). Domain contract: non-negative values
+    quantized to ≤4 decimal places (TPC-H-style money)."""
     F = _F()
-    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+    return F.expr(f"CAST({col} * 10000.0 + 0.5 AS BIGINT)")
+
+
+def _exact_sum(col):
+    """Exact sum of a money double as DOUBLE: integer-scaled long sum
+    (codegen, map-side combinable, no per-row decimal) divided back.
+    ``sum/10000`` is the correctly-rounded double of the exact
+    rational, which equals ``CAST(exact_decimal_sum AS DOUBLE)`` —
+    both are nearest-double of the same value."""
+    F = _F()
+    return F.sum(_scale4(col)) / 10000
 
 
 # --- S3/F-tier: scan pruning + projection pushdown -------------------------
@@ -406,21 +428,38 @@ def q_pricing_summary(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= "1998-09-02"
     )
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _exact_sum("l_quantity").alias("sum_qty"),
-            _exact_sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(
-                (
-                    F.col("l_extendedprice").cast("decimal(18,4)")
-                    * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-                ).cast("decimal(28,8)")
-            )
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.count("*").alias("count_order"),
-        )
+    # r8: all money arithmetic on exact 10⁴-scaled longs (see _scale4).
+    # disc_price = Σ p4·(10⁴−d4) is the exact total × 10⁸; a plain
+    # long sum of the products would overflow at ~10⁹ rows, so the sum
+    # is split hi/lo around 10⁸ (both comfortably in range at any
+    # plausible SF) and recomposed exactly in one decimal expression
+    # per GROUP (6 groups), not per row. DECIMAL(19,0) for hi keeps
+    # the division result type at scale 9 ≥ the oracle's 8 fractional
+    # digits, so no rounding before the final double conversion.
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        _scale4("l_quantity").alias("q4"),
+        _scale4("l_extendedprice").alias("p4"),
+        _scale4("l_discount").alias("d4"),
+    )
+    g = pre.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("q4").alias("sq4"),
+        F.sum("p4").alias("sp4"),
+        F.sum(F.expr("p4 * (10000 - d4) DIV 100000000")).alias("dhi"),
+        F.sum(F.expr("p4 * (10000 - d4) % 100000000")).alias("dlo"),
+        F.count("*").alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("sq4") / 10000).alias("sum_qty"),
+        (F.col("sp4") / 10000).alias("sum_base_price"),
+        F.expr(
+            "CAST((CAST(dhi AS DECIMAL(19,0)) * 100000000 + dlo)"
+            " / 100000000 AS DOUBLE)"
+        ).alias("sum_disc_price"),
+        "count_order",
     )
 
 
