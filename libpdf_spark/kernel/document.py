@@ -145,10 +145,23 @@ def extract_document(doc: dict, cfg: ExtractConfig) -> DocResult:
     }
 
     chars = CharArrays.from_payload(doc.get("chars"))
-    if len(chars):
-        keep = np.isin(chars.page, np.fromiter(page_dims, dtype=np.int32))
-        if not keep.all():
-            chars = chars.take(np.where(keep)[0])
+    if len(chars) and not page_numbers:
+        chars = chars.take(np.empty(0, dtype=np.int64))  # no wanted pages
+    elif len(chars):
+        # r8 fast path: when the wanted pages are a contiguous range
+        # covering every char page (the no-page-filter common case),
+        # the sort-based np.isin scan is a no-op — two min/max checks
+        # replace it. Semantics identical; isin remains the fallback.
+        contiguous = page_numbers[-1] - page_numbers[0] + 1 == len(page_numbers)
+        if contiguous and (
+            page_numbers[0] <= chars.page.min()
+            and chars.page.max() <= page_numbers[-1]
+        ):
+            pass  # every char is on a wanted page
+        else:
+            keep = np.isin(chars.page, np.fromiter(page_dims, dtype=np.int32))
+            if not keep.all():
+                chars = chars.take(np.where(keep)[0])
 
     # Smart header/footer crop (A4) runs per element kind immediately
     # after that kind's extraction, exactly like the reference's ×4

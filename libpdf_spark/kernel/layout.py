@@ -118,7 +118,8 @@ class CharArrays:
             arr = cls.from_records(chars or [])
         # vectorized keep-mask (VERDICT r3: np.isin is 3x the Python
         # generator on this every-char hot path; semantics identical)
-        keep = ~np.isin(arr.text, (" ", "\n"))
+        keep = (arr.text != " ") & (arr.text != "\n")  # r8: 2 vector
+        # compares beat np.isin's sort-based in1d on unicode arrays
         return arr if keep.all() else arr.take(keep)
 
     def take(self, idx: np.ndarray) -> "CharArrays":
@@ -192,10 +193,11 @@ def group_lines(
     breaks[0] = True
     if n > 1:
         breaks[1:] = (yc_sorted[:-1] - yc_sorted[1:]) >= y_tolerance
-    line_id = np.cumsum(breaks) - 1
+    # members of line k are CONTIGUOUS in `order` (breaks are cuts in
+    # the y-sorted sequence) — slice instead of a per-line O(n) mask
+    # scan (r8: the mask loop was O(L·n) per page in the hot profile)
     lines: list[np.ndarray] = []
-    for lid in range(line_id[-1] + 1):
-        members = order[line_id == lid]
+    for members in np.split(order, np.flatnonzero(breaks[1:]) + 1):
         members = members[np.argsort(chars.x0[members], kind="stable")]
         if char_margin is None or len(members) < 2:
             lines.append(members)
@@ -206,10 +208,7 @@ def group_lines(
         if not split_after.any():
             lines.append(members)
             continue
-        seg = np.zeros(len(members), dtype=np.int64)
-        seg[1:] = np.cumsum(split_after)
-        for s in range(seg[-1] + 1):
-            lines.append(members[seg == s])
+        lines.extend(np.split(members, np.flatnonzero(split_after) + 1))
     return lines
 
 
@@ -249,6 +248,10 @@ def assemble_lines_bulk(
 
     texts_all = chars.text[members].tolist()
     space_list = space.tolist()
+    # r8: word-cut positions for the whole page at once — the previous
+    # per-line `[k for k in range(a+1, b) if space_list[k]]` was a
+    # per-CHAR Python loop inside the hot path
+    cuts_all = np.flatnonzero(space)
     out: list[tuple[str, np.ndarray]] = []
     for li in range(len(lines)):
         a = int(starts[li])
@@ -256,8 +259,9 @@ def assemble_lines_bulk(
         seg = texts_all[a:b]
         joined = "".join(seg)
         if len(joined) == len(seg):  # all 1-char glyphs: slice per WORD
-            bounds = [k - a for k in range(a + 1, b) if space_list[k]]
-            if bounds:
+            lo, hi = np.searchsorted(cuts_all, (a + 1, b))
+            if hi > lo:
+                bounds = (cuts_all[lo:hi] - a).tolist()
                 parts = []
                 prev = 0
                 for cut in bounds:
@@ -352,10 +356,19 @@ def group_boxes(
     L = len(lines)
     if L == 0:
         return [], None
-    lx0 = np.array([chars.x0[l].min() for l in lines])
-    lx1 = np.array([chars.x1[l].max() for l in lines])
-    ly0 = np.array([chars.y0[l].min() for l in lines])
-    ly1 = np.array([chars.y1[l].max() for l in lines])
+    # r8: hulls via 4 reduceat calls over the concatenated members —
+    # the per-line min()/max() list comprehensions were 4·L small
+    # numpy reductions per page in the hot profile
+    cat = np.concatenate(lines)
+    starts = np.zeros(L, dtype=np.int64)
+    np.cumsum(
+        np.fromiter((len(l) for l in lines), dtype=np.int64, count=L)[:-1],
+        out=starts[1:],
+    )
+    lx0 = np.minimum.reduceat(chars.x0[cat], starts)
+    lx1 = np.maximum.reduceat(chars.x1[cat], starts)
+    ly0 = np.minimum.reduceat(chars.y0[cat], starts)
+    ly1 = np.maximum.reduceat(chars.y1[cat], starts)
     height = ly1 - ly0
     # pairwise: horizontal overlap AND vertical gap < line_margin * max(height)
     x_overlap = (lx0[:, None] < lx1[None, :]) & (lx1[:, None] > lx0[None, :])
