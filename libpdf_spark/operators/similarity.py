@@ -73,20 +73,23 @@ def q_cosine_topk(spark, sf_dir):
     F = _F()
     from pyspark.sql import Window
 
+    # r8 (guide §1.2 "don't recompute"): |v|² depends only on the
+    # corpus row and |q|² only on the query row — hoist both out of
+    # the Q×N pair projection so each is computed once per row/query
+    # instead of once per pair (the higher-order-function dot is the
+    # per-pair cost driver; this removes 2 of the 4 array folds).
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _quantize("embedding").alias("qe")
-    )
+    ).withColumn("na2", _idot(F.col("qe"), F.col("qe")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("qe").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("qe").alias("q_emb"),
+        F.col("na2").alias("nb2"),
     )
     dot = _idot(F.col("qe"), F.col("q_emb"))
-    na2 = _idot(F.col("qe"), F.col("qe"))
-    nb2 = _idot(F.col("q_emb"), F.col("q_emb"))
     joined = (
         emb.crossJoin(F.broadcast(queries))
         .withColumn("dot", dot)
-        .withColumn("na2", na2)
-        .withColumn("nb2", nb2)
         .withColumn(
             "cos_raw",
             F.col("dot").cast("double")
@@ -210,12 +213,16 @@ def q_embedding_near_dup(spark, sf_dir):
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _quantize("embedding").alias("qe")
     )
-    keyed = buckets.join(emb, "vec_id")
+    # r8: hoist |v|² to once per vector (pre-join) instead of twice
+    # per candidate pair — same results, fewer array folds
+    keyed = buckets.join(emb, "vec_id").withColumn(
+        "n2", _idot(F.col("qe"), F.col("qe"))
+    )
     a = keyed.alias("a")
     b = keyed.alias("b")
     dot = _idot(F.col("a.qe"), F.col("b.qe"))
-    na2 = _idot(F.col("a.qe"), F.col("a.qe"))
-    nb2 = _idot(F.col("b.qe"), F.col("b.qe"))
+    na2 = F.col("a.n2")
+    nb2 = F.col("b.n2")
     cos_raw = dot.cast("double") / (
         F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
     )
@@ -295,9 +302,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
     cents = emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_K)
-    ).select(F.col("vec_id").alias("cent_id"), F.col("qe").alias("ce"))
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qe").alias("ce"),
+        # r8: |c|² hoisted to once per centroid (it rode the N×K pair
+        # projection before)
+        _idot(F.col("qe"), F.col("qe")).alias("cc"),
+    )
     # dist² ranking needs only |c|² − 2·v·c (|v|² is constant per vector)
-    score = _idot(F.col("ce"), F.col("ce")) - 2 * _idot(F.col("qe"), F.col("ce"))
+    score = F.col("cc") - 2 * _idot(F.col("qe"), F.col("ce"))
     scored = emb.crossJoin(F.broadcast(cents)).withColumn("score", score)
     assign = (
         scored.groupBy("vec_id")
