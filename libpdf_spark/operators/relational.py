@@ -152,8 +152,14 @@ def q_bbox_union_agg(spark, sf_dir):
     """min/max hull per group (A1, ``horizontal_box.py:79-83``) —
     map-side combinable hash agg."""
     F = _F()
+    # r8: repartition-first (see q_text_assembly) — at ~4 rows/group
+    # the map-side partial aggregation pass over 6M rows reduced the
+    # exchange by almost nothing; one post-exchange agg pass measured
+    # 1.18 s → 0.75 s at sf1.0
     return (
         load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_discount", "l_tax")
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey")
         .agg(
             F.min("l_discount").alias("x0"),
