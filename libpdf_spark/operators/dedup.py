@@ -188,37 +188,27 @@ def _minhash_expr(i: int):
 
 
 def _signatures_df(spark, sf_dir):
-    """doc_id → (m0..m7) MinHash mins.
+    """doc_id → (m0..m7) MinHash mins: 8 seeded-md5 mins per doc in a
+    single codegen explode→HashAggregate pass.
 
-    Optimization (r8, guide §1.2 "don't compute things you throw
-    away"): corpora repeat shingles heavily across documents (measured
-    sf1.0: 2.62M (doc, shingle) pairs but only 27.9k DISTINCT shingles
-    — 94× duplication), so hashing per PAIR wastes 99% of the md5
-    work. Hash each distinct shingle once (8 seeds × |distinct|), then
-    attach the hashes back to the pairs with an equi-join on the
-    shingle and take per-doc mins. The hash side is broadcast
-    EXPLICITLY (guide §3.1: size estimates after an aggregation are
-    unreliable — unhinted, the planner picked BuildLeft and broadcast
-    the multi-million-row pair stream into a 27.9k-key hashed
-    relation, a measured 4× regression). The join is 1:1 on a key the
-    pairs already carry, so min-per-doc is unchanged; the broadcast
-    also preserves the pairs' doc_id partitioning, so the per-doc min
-    aggregation needs no exchange. At a corpus scale where the
-    distinct-shingle set outgrows a broadcast (~10⁸+ distinct), swap
-    the hint for SHUFFLE_HASH on the same join — shingle keys are
-    high-cardinality, so that shuffle is skew-free."""
+    r8 optimization note (guide §1.1 "measure first"): a rewrite that
+    hashed each DISTINCT shingle once (94× cross-doc duplication
+    measured at sf1.0) and attached hashes back via a broadcast join
+    was benchmarked head-to-head: ~equal at sf1.0 (1.72 vs 1.74 s min
+    of 6 interleaved trials) and 60% SLOWER at sf0.1 (0.93 vs 0.58 s)
+    — the distinct side re-runs shingle generation (Spark recomputes
+    shared subtrees) and the extra join/broadcast stages are fixed
+    cost, while codegen md5 over the pairs is cheap. REVERTED; also
+    measured and rejected: persisting the pair stream (cache overhead
+    cancels), array-form signatures without explode (HOF folds lose
+    to codegen), struct band keys instead of md5 strings (no win).
+    Kept: the one-pass explode + partial-agg shape below (the doc_id
+    fan-out partitioning from load_parallel is reused — no extra
+    exchange)."""
     F = _F()
     sh = _shingles_df(spark, sf_dir)
-    hashes = (
-        sh.select("shingle")
-        .distinct()
-        .select(
-            "shingle",
-            *[_minhash_expr(i).alias(f"h{i}") for i in range(N_MINHASH)],
-        )
-    )
-    aggs = [F.min(F.col(f"h{i}")).alias(f"m{i}") for i in range(N_MINHASH)]
-    return sh.join(F.broadcast(hashes), "shingle").groupBy("doc_id").agg(*aggs)
+    aggs = [F.min(_minhash_expr(i)).alias(f"m{i}") for i in range(N_MINHASH)]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def q_minhash_signatures(spark, sf_dir):
