@@ -70,18 +70,26 @@ class CharArrays:
         """Columnar payload encoding (payload.to_columnar_chars) —
         near-zero-copy into numpy."""
         n = len(cols["page"])
+        text = cols["text"]
+        fontname = cols.get("fontname")
+        ncolor = cols.get("ncolor")
         return cls(
             page=np.asarray(cols["page"], dtype=np.int32),
-            text=np.asarray(cols["text"], dtype=object),
+            # r8: pass prebuilt arrays through untouched (the packed
+            # fast path, payload.unpack_chars_arrays, delivers <U1
+            # text and run-filled object attrs — re-coercing to
+            # object would copy per char)
+            text=text if isinstance(text, np.ndarray)
+            else np.asarray(text, dtype=object),
             x0=np.asarray(cols["x0"], dtype=np.float64),
             y0=np.asarray(cols["y0"], dtype=np.float64),
             x1=np.asarray(cols["x1"], dtype=np.float64),
             y1=np.asarray(cols["y1"], dtype=np.float64),
-            fontname=np.asarray(
-                cols.get("fontname") or [None] * n, dtype=object
-            ),
-            ncolor=_object_array(
-                [tuple(c) if c else None for c in (cols.get("ncolor") or [None] * n)]
+            fontname=fontname if isinstance(fontname, np.ndarray)
+            else np.asarray(fontname or [None] * n, dtype=object),
+            ncolor=ncolor if isinstance(ncolor, np.ndarray)
+            else _object_array(
+                [tuple(c) if c else None for c in (ncolor or [None] * n)]
             ),
         )
 
@@ -109,9 +117,9 @@ class CharArrays:
         test_f2_real_space_glyph_word_segmentation``)."""
         if isinstance(chars, dict):
             if chars.get("v") == 2:
-                from libpdf_spark.payload import unpack_chars
+                from libpdf_spark.payload import unpack_chars_arrays
 
-                arr = cls.from_columnar(unpack_chars(chars))
+                arr = cls.from_columnar(unpack_chars_arrays(chars))
             else:
                 arr = cls.from_columnar(chars)
         else:
