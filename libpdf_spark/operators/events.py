@@ -112,12 +112,11 @@ def q_props_extract(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count("k").cast("long").alias("n_with_k"),
-            # sum in DECIMAL (exact), ship as DOUBLE (dtype parity
-            # with DuckDB's .df() materialization — the repo-wide
-            # oracle pattern, see q_pricing_summary)
-            F.sum(F.col("k").cast("decimal(38,0)"))
-            .cast("double")
-            .alias("sum_k"),
+            # r8: plain long sum (exact; k is a small extracted int,
+            # Σ fits long at any plausible SF), cast DOUBLE for dtype
+            # parity — identical to the decimal sum's double cast
+            # (same integer, same nearest-double conversion)
+            F.sum("k").cast("double").alias("sum_k"),
             F.max("k").alias("max_k"),
         )
     )
@@ -157,8 +156,14 @@ def q_hourly_windows(spark, sf_dir):
         .groupBy("window_start_us", "event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(F.col("value").cast("decimal(20,6)"))
-            .cast("double")
+            # r8: exact 10⁶-scaled long sum instead of a per-row
+            # double→decimal cast (Double.toString path; see
+            # relational._scale4). `value` is non-negative with ≤4
+            # decimal places at every SF (verified), so +0.5
+            # truncation equals the DECIMAL(20,6) HALF_UP cast, and
+            # sum/10⁶ is the same correctly-rounded double as the
+            # decimal sum's cast.
+            (F.sum(F.expr("CAST(value * 1000000.0 + 0.5 AS BIGINT)")) / 1000000)
             .alias("sum_value"),
         )
     )

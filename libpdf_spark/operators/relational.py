@@ -109,13 +109,16 @@ def q_top1_per_group(spark, sf_dir):
     shape, ``textbox.py:386-528``; W2 vertical-distance tie-break).
 
     Optimization (r8, guide §2.4 window→agg): the row_number window
-    sorted the full orders table twice (pre- and post-exchange) even
-    with WindowGroupLimit pruning. ``max(struct(price, -orderkey))``
-    is the same selection — max totalprice, min orderkey on ties
-    (negation flips the tie-break under max; struct comparison is
-    lexicographic) — as one sort-free codegen HashAggregate with
-    map-side partial aggregation. Output values are the original
-    column values, bit-identical."""
+    sorted the full orders table on (custkey, price DESC, orderkey)
+    twice (pre- and post-exchange) even with WindowGroupLimit
+    pruning. ``max(struct(price, -orderkey))`` is the same selection
+    — max totalprice, min orderkey on ties (negation flips the
+    tie-break under max; struct comparison is lexicographic) — as an
+    aggregation with map-side partial combine. A struct-typed max
+    buffer plans as Sort+SortAggregate (not HashAggregate), but the
+    sort key is o_custkey alone and the Window/WindowGroupLimit
+    operators disappear: measured 1.28 s → 0.78 s at sf1.0. Output
+    values are the original column values, bit-identical."""
     F = _F()
     return (
         load(spark, sf_dir, "orders")
