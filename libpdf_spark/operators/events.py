@@ -50,10 +50,19 @@ def q_sessionize(spark, sf_dir):
     F = _F()
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        _ts_us().alias("ts_us"),
+    # r8 (guide §2.1): the events table arrives as ONE row group, so
+    # everything below the window's exchange runs on a single scan
+    # task. Repartition the RAW columns explicitly (replaces the
+    # planner's ENSURE_REQUIREMENTS exchange — still exactly one) and
+    # compute the epoch-micros projection AFTER it, so the per-row
+    # timestamp arithmetic parallelizes instead of riding the serial
+    # scan. Measured 0.93 → 0.75 s at sf1.0; same single-exchange
+    # plan, same results.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .repartition(F.col("user_id"))
+        .select("user_id", "event_id", _ts_us().alias("ts_us"))
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     new_session = (

@@ -299,7 +299,15 @@ def q_lead_lag(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = load(spark, sf_dir, "events")
+    # r8: repartition raw columns first so the unix_timestamp math
+    # runs post-exchange instead of on the single-row-group scan task
+    # (see q_sessionize in events.py); the explicit repartition
+    # replaces the window's planner-inserted exchange.
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .repartition(F.col("user_id"))
+    )
     return ev.select(
         "user_id",
         "event_id",
@@ -326,7 +334,13 @@ def q_run_segmentation(spark, sf_dir):
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = load(spark, sf_dir, "events")
+    # r8: repartition-first for the same single-row-group-scan reason
+    # as q_lead_lag above
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .repartition(F.col("user_id"))
+    )
     seg = ev.withColumn(
         "new_session",
         F.when(
