@@ -260,6 +260,10 @@ def assemble_lines_bulk(
     # per-line `[k for k in range(a+1, b) if space_list[k]]` was a
     # per-CHAR Python loop inside the hot path
     cuts_all = np.flatnonzero(space)
+    # one vectorized searchsorted for every line's cut range (r8: the
+    # per-line two-element searchsorted was 2·L small calls per page)
+    los = np.searchsorted(cuts_all, starts + 1)
+    his = np.searchsorted(cuts_all, starts + lens)
     out: list[tuple[str, np.ndarray]] = []
     for li in range(len(lines)):
         a = int(starts[li])
@@ -267,7 +271,7 @@ def assemble_lines_bulk(
         seg = texts_all[a:b]
         joined = "".join(seg)
         if len(joined) == len(seg):  # all 1-char glyphs: slice per WORD
-            lo, hi = np.searchsorted(cuts_all, (a + 1, b))
+            lo, hi = los[li], his[li]
             if hi > lo:
                 bounds = (cuts_all[lo:hi] - a).tolist()
                 parts = []
