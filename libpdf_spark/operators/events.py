@@ -172,7 +172,7 @@ def q_hourly_windows(spark, sf_dir):
             # truncation equals the DECIMAL(20,6) HALF_UP cast, and
             # sum/10⁶ is the same correctly-rounded double as the
             # decimal sum's cast.
-            (F.sum(F.expr("CAST(value * 1000000.0 + 0.5 AS BIGINT)")) / 1000000)
+            (F.sum(F.expr("CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)")) / 1000000)
             .alias("sum_value"),
         )
     )

@@ -34,10 +34,14 @@ def _scale4(col):
     at sf0.01/0.1/1.0) — but without the double→decimal cast, which
     goes through Double.toString/BigDecimal per row and was measured
     as 2.4× the whole aggregation (guide §1.2 per-task work;
-    r8 OPTIMIZATION notes). Domain contract: non-negative values
-    quantized to ≤4 decimal places (TPC-H-style money)."""
+    r8 OPTIMIZATION notes). Domain contract: values quantized to ≤4
+    decimal places (TPC-H-style money; every such column in the
+    schema is also non-negative). FLOOR (not bare truncation) keeps
+    the identity on negative non-tie values too, as cheap insurance —
+    truncation rounds toward zero, floor+½ rounds half-up like the
+    decimal cast."""
     F = _F()
-    return F.expr(f"CAST({col} * 10000.0 + 0.5 AS BIGINT)")
+    return F.expr(f"CAST(FLOOR({col} * 10000.0 + 0.5) AS BIGINT)")
 
 
 def _exact_sum(col):
