@@ -494,6 +494,14 @@ def q_pack_bins(spark, sf_dir, budget: int = 2048, shard: int = 1000):
     local = docs.withColumn(
         "local_prefix", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
     )
+    # r8 note (measured, kept as-is): the two consumers of `docs`
+    # (window + shard totals) DO re-run the tokenize subtree — the
+    # plan shows two scans and ReuseExchange never fires (the pruned
+    # subtrees canonicalize differently), and a rewrite deriving the
+    # totals from the window output (max of prefix+n per shard) was
+    # benchmarked at a wash (0.61 vs 0.59 s min, 5 interleaved trials
+    # at sf1.0) because Spark duplicates the window subtree for its
+    # two consumers just the same. Reverted to the simpler form.
     shard_tot = docs.groupBy("shard_id").agg(F.sum("n_tokens").alias("tot"))
     w_sh = Window.orderBy("shard_id").rowsBetween(
         Window.unboundedPreceding, -1
