@@ -168,10 +168,10 @@ def q_hourly_windows(spark, sf_dir):
             # r8: exact 10⁶-scaled long sum instead of a per-row
             # double→decimal cast (Double.toString path; see
             # relational._scale4). `value` is non-negative with ≤4
-            # decimal places at every SF (verified), so +0.5
-            # truncation equals the DECIMAL(20,6) HALF_UP cast, and
-            # sum/10⁶ is the same correctly-rounded double as the
-            # decimal sum's cast.
+            # decimal places at every SF (verified), so FLOOR(x+0.5)
+            # equals the DECIMAL(20,6) HALF_UP cast, and sum/10⁶ is
+            # the same correctly-rounded double as the decimal sum's
+            # cast.
             (F.sum(F.expr("CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)")) / 1000000)
             .alias("sum_value"),
         )
