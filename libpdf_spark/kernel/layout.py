@@ -158,6 +158,27 @@ class Box:
     ncolor: tuple | None = None
 
 
+def _median1d(a: np.ndarray) -> float:
+    """``float(np.median(a))`` for a non-empty 1-D float array without
+    the ``_ureduce`` wrapper overhead (np.median showed up as ~8% of
+    the per-page kernel — one call per page on a small array is pure
+    Python-layer cost). Bit-identical: same partition selection, same
+    even-count ``(lo + hi) / 2`` mean, same NaN propagation (NaN sorts
+    last under partition; np.median checks the last slot the same
+    way)."""
+    n = a.size
+    k = n >> 1
+    if n & 1:
+        part = np.partition(a, (k, n - 1))
+        lo = hi = part[k]
+    else:
+        part = np.partition(a, (k - 1, k, n - 1))
+        lo, hi = part[k - 1], part[k]
+    if np.isnan(part[-1]):
+        return float("nan")
+    return float((lo + hi) / 2.0)
+
+
 def _uniform(values) -> object | None:
     """Promote an attribute iff identical across children
     (``horizontal_box.py:84-90,136-142,188-195``)."""
@@ -202,22 +223,27 @@ def group_lines(
     if n > 1:
         breaks[1:] = (yc_sorted[:-1] - yc_sorted[1:]) >= y_tolerance
     # members of line k are CONTIGUOUS in `order` (breaks are cuts in
-    # the y-sorted sequence) — slice instead of a per-line O(n) mask
-    # scan (r8: the mask loop was O(L·n) per page in the hot profile)
-    lines: list[np.ndarray] = []
-    for members in np.split(order, np.flatnonzero(breaks[1:]) + 1):
-        members = members[np.argsort(chars.x0[members], kind="stable")]
-        if char_margin is None or len(members) < 2:
-            lines.append(members)
-            continue
-        widths = chars.x1[members] - chars.x0[members]
-        hgaps = chars.x0[members][1:] - chars.x1[members][:-1]
-        split_after = hgaps > char_margin * widths[1:]
-        if not split_after.any():
-            lines.append(members)
-            continue
-        lines.extend(np.split(members, np.flatnonzero(split_after) + 1))
-    return lines
+    # the y-sorted sequence). r8: ONE stable lexsort orders every
+    # line's members by x0 at once (primary key = line id, secondary
+    # = x0; stable ties keep the y-order, exactly like the previous
+    # per-line stable argsort), and the char_margin sub-split runs as
+    # one vector compare over the page — the per-line loop with L
+    # small argsorts was the remaining group_lines hotspot.
+    line_id = np.cumsum(breaks) - 1
+    order2 = order[np.lexsort((chars.x0[order], line_id))]
+    cut = breaks  # line starts sit at the same positions after the
+    # within-line reorder (line blocks are contiguous either way)
+    if char_margin is not None and n > 1:
+        x0s = chars.x0[order2]
+        x1s = chars.x1[order2]
+        widths = x1s - x0s
+        hgap = np.empty(n)
+        hgap[0] = 0.0
+        hgap[1:] = x0s[1:] - x1s[:-1]
+        # hgap at a line-start position compares across lines — the
+        # cut is already True there, so the bogus value never splits
+        cut = cut | (hgap > char_margin * widths)
+    return np.split(order2, np.flatnonzero(cut[1:]) + 1)
 
 
 def assemble_lines_bulk(
@@ -334,18 +360,34 @@ def assemble_line_text(
 
 def _connected_components(adjacent: np.ndarray) -> np.ndarray:
     """Connected-component labels of a small boolean adjacency matrix
-    via vectorized min-label propagation (N is lines/boxes per page —
-    tens, not thousands)."""
+    (N is lines/boxes per page — tens, not thousands).
+
+    Union-find over the adjacency pairs, always attaching the larger
+    root under the smaller, so every component's root — and therefore
+    its label — is its minimum member index: identical labels to the
+    min-label propagation this replaces (the label VALUE matters —
+    ``order_boxes_reading`` uses it as a sort tie-break), without
+    rebuilding an n×n matrix per propagation round. Input must be
+    symmetric (both call sites build symmetric adjacency; only the
+    upper triangle is traversed)."""
     n = adjacent.shape[0]
-    adj = adjacent | np.eye(n, dtype=bool)
-    labels = np.arange(n)
-    while True:
-        # label of i becomes the min label among neighbors
-        neigh = np.where(adj, labels[None, :], n)
-        new = neigh.min(axis=1)
-        if np.array_equal(new, labels):
-            return labels
-        labels = new
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ii, jj = np.nonzero(np.triu(adjacent, 1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            if ri < rj:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    return np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
 
 
 def group_boxes(
@@ -437,7 +479,7 @@ def build_boxes(
     if char_index_base is None:
         char_index_base = np.arange(len(chars), dtype=np.int64)
     heights = chars.y1 - chars.y0
-    med_h = float(np.median(heights)) if len(heights) else 10.0
+    med_h = _median1d(heights) if len(heights) else 10.0
     y_tol = max(cfg.line_overlap * med_h, 1e-9)
     lines = group_lines(chars, y_tol, char_margin=cfg.char_margin)
     line_groups, hulls = group_boxes(chars, lines, cfg.line_margin)
