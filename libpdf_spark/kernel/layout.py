@@ -379,7 +379,9 @@ def _connected_components(adjacent: np.ndarray) -> np.ndarray:
             x = parent[x]
         return x
 
-    ii, jj = np.nonzero(np.triu(adjacent, 1))
+    ii, jj = np.nonzero(adjacent)
+    keep = ii < jj  # upper triangle only (symmetric input)
+    ii, jj = ii[keep], jj[keep]
     for i, j in zip(ii.tolist(), jj.tolist()):
         ri, rj = find(i), find(j)
         if ri != rj:
