@@ -280,8 +280,24 @@ def assemble_lines_bulk(
     idx_in_line = np.arange(n, dtype=np.int64) - starts[line_id]
     offsets_all = idx_in_line + within_spaces
 
-    texts_all = chars.text[members].tolist()
-    space_list = space.tolist()
+    texts_np = chars.text[members]
+    # r8: when text is the packed-payload <U1 array, the page's full
+    # concatenation is ONE UTF-32 buffer reinterpretation (each slot
+    # is exactly one char) — no per-char Python string creation. A
+    # numpy U-slot holding "" is NUL padding, indistinguishable from
+    # a real "\x00" glyph under the view, so any empty slot falls
+    # back to the list path (which renders "" exactly as before).
+    page_str = None
+    if (
+        n
+        and texts_np.dtype.kind == "U"
+        and texts_np.dtype.itemsize == 4
+        and (texts_np != "").all()
+    ):
+        page_str = np.ascontiguousarray(texts_np).view(f"<U{n}")[0]
+    else:
+        texts_all = texts_np.tolist()
+        space_list = space.tolist()
     # r8: word-cut positions for the whole page at once — the previous
     # per-line `[k for k in range(a+1, b) if space_list[k]]` was a
     # per-CHAR Python loop inside the hot path
@@ -294,9 +310,14 @@ def assemble_lines_bulk(
     for li in range(len(lines)):
         a = int(starts[li])
         b = a + int(lens[li])
-        seg = texts_all[a:b]
-        joined = "".join(seg)
-        if len(joined) == len(seg):  # all 1-char glyphs: slice per WORD
+        if page_str is not None:
+            joined = page_str[a:b]
+            one_char = True
+        else:
+            seg = texts_all[a:b]
+            joined = "".join(seg)
+            one_char = len(joined) == len(seg)
+        if one_char:  # all 1-char glyphs: slice per WORD
             lo, hi = los[li], his[li]
             if hi > lo:
                 bounds = (cuts_all[lo:hi] - a).tolist()

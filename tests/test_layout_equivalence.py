@@ -124,3 +124,43 @@ def test_group_lines_matches_per_line_reference():
         assert len(a) == len(b)
         for x, y in zip(a, b):
             assert np.array_equal(x, y)
+
+
+def test_assemble_lines_bulk_view_fast_path_and_empty_slot_fallback():
+    """The <U1 page-string view must render identically to the list
+    path, and an empty slot ('' — numpy NUL padding) must take the
+    fallback and render '' exactly as before."""
+    from libpdf_spark.kernel.layout import assemble_lines_bulk
+
+    n, nlines = 48, 4
+    per = n // nlines
+
+    class P:
+        def __init__(self, text):
+            self.x0 = np.tile(50 + 6.0 * np.arange(per), nlines)
+            # a wide gap before char 3 of each line -> one word space
+            self.x0[3::per] += 30.0
+            self.x1 = self.x0 + 5.5
+            self.y0 = np.repeat(700 - 12.0 * np.arange(nlines), per)
+            self.y1 = self.y0 + 10.0
+            self.text = text
+
+        def __len__(self):
+            return len(self.x0)
+
+    lines = [np.arange(i * per, (i + 1) * per) for i in range(nlines)]
+    glyphs = list("abcdefghijkl" * (n // 12))
+
+    u1 = assemble_lines_bulk(P(np.array(glyphs, dtype="<U1")), lines, 0.1)
+    obj = assemble_lines_bulk(P(np.array(glyphs, dtype=object)), lines, 0.1)
+    assert [t for t, _ in u1] == [t for t, _ in obj]
+    assert all(np.array_equal(a, b) for (_, a), (_, b) in zip(u1, obj))
+    assert " " in u1[0][0]  # the word gap rendered
+
+    # empty slot: both dtypes must agree (fallback path) and keep ''
+    glyphs2 = list(glyphs)
+    glyphs2[5] = ""
+    u1e = assemble_lines_bulk(P(np.array(glyphs2, dtype="<U1")), lines, 0.1)
+    obje = assemble_lines_bulk(P(np.array(glyphs2, dtype=object)), lines, 0.1)
+    assert [t for t, _ in u1e] == [t for t, _ in obje]
+    assert len(u1e[0][0]) == len(u1[0][0]) - 1
