@@ -243,7 +243,15 @@ def group_lines(
         # hgap at a line-start position compares across lines — the
         # cut is already True there, so the bogus value never splits
         cut = cut | (hgap > char_margin * widths)
-    return np.split(order2, np.flatnonzero(cut[1:]) + 1)
+    # inline np.split: same contiguous views without array_split's
+    # per-piece Python checks (~0.1 s of the profiled kernel run)
+    cuts = np.flatnonzero(cut[1:]) + 1
+    bounds = np.empty(len(cuts) + 2, dtype=np.int64)
+    bounds[0] = 0
+    bounds[1:-1] = cuts
+    bounds[-1] = n
+    bl = bounds.tolist()
+    return [order2[a:b] for a, b in zip(bl[:-1], bl[1:])]
 
 
 def assemble_lines_bulk(
